@@ -1,0 +1,92 @@
+package graft.fetch
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Dataset
+import graft.model._
+
+/** Outcome of one job's fetch+extract in a superstep. `action` encodes the
+  * error policy verdict: "ok" | "retry" | "stop" | "redirect:<url>"
+  * (reference: src/spider.js:213-260).
+  */
+case class StepOutcome(
+    job: CrawlJob,
+    status: Int,
+    action: String,
+    items: Seq[ImageItem],
+    spawned: Seq[SpawnedJob],
+    hasNextPage: Boolean,
+    newState: Map[String, String])
+
+/** The fetch+extract superstep stage — the engine's only imperative kernel.
+  *
+  * Runs as `mapPartitions` over the politeness-scheduled wave: NO shuffle —
+  * the wave arrives already salted-partitioned by host, each task fetches
+  * its partition's URLs (per-partition client in production; corpus lookup
+  * here) and applies the route's scraper (the reference's UDTF-like user
+  * surface: one page → many items + many jobs, src/spider.js:290-334).
+  * Sanitization replicates spider.js:290-334 including the documented
+  * `pickBy(identity)` quirk (falsy-valued open-schema fields dropped).
+  */
+object FetchStage {
+
+  def run(
+      wave: Dataset[CrawlJob],
+      routes: Broadcast[Map[String, RouteSpec]],
+      fetcher: Broadcast[Fetcher]): Dataset[StepOutcome] = {
+    val spark = wave.sparkSession
+    import spark.implicits._
+    wave.mapPartitions { jobs =>
+      val reg = routes.value
+      val f = fetcher.value
+      jobs.map { job =>
+        reg.get(job.routeId) match {
+          case None =>
+            // unknown route: reference warns + skips (worker.js:284-287)
+            StepOutcome(job, -1, "stop", Nil, Nil, hasNextPage = false, Map.empty)
+          case Some(route) =>
+            val effUrl = route.paginate(job.url, job.state.currentPage)
+            val page = f.fetch(effUrl, job.errorCount)
+            val status = route.checkStatus(page)
+            if (status >= 400) {
+              val action = route.onError(status, job.errorCount) match {
+                case ErrorAction.Retry if job.errorCount < route.retryCount => "retry"
+                case ErrorAction.Redirect(u) => s"redirect:$u"
+                case _ => "stop"
+              }
+              StepOutcome(job, status, action, Nil, Nil, hasNextPage = false, Map.empty)
+            } else {
+              val scraped = sanitize(route.scraper(page), job.routeId)
+              StepOutcome(job, status, "ok", scraped.items, scraped.jobs,
+                scraped.hasNextPage, scraped.state)
+            }
+        }
+      }
+    }
+  }
+
+  /** Reference sanitize semantics (src/spider.js:290-334): assert shapes,
+    * drop spawned jobs without a routeId (311-316), trim every string field
+    * (324-328), and drop falsy-valued open-schema fields — lodash
+    * `pickBy(identity)` also removes "0"/"false"/empty (322); replicated
+    * deliberately for item parity with the reference.
+    */
+  def sanitize(r: ScrapeResult, routeId: String): ScrapeResult = {
+    val jobs = r.jobs.filter(j => j.routeId != null && j.routeId.nonEmpty && j.url != null && j.url.nonEmpty)
+    val items = r.items.map { it =>
+      it.copy(
+        key = Option(it.key).map(_.trim.toLowerCase).getOrElse(""),
+        name = trimOrEmpty(it.name),
+        itemType = if (it.itemType == null || it.itemType.isEmpty) "content" else it.itemType.trim,
+        link = trimOrEmpty(it.link),
+        route = if (it.route == null || it.route.isEmpty) routeId else it.route,
+        caption = trimOrEmpty(it.caption),
+        props = it.props.collect {
+          case (k, v) if v != null && v.trim.nonEmpty && v.trim != "0" && v.trim != "false" =>
+            k -> v.trim
+        })
+    }.filter(_.key.nonEmpty)
+    r.copy(items = items, jobs = jobs)
+  }
+
+  private def trimOrEmpty(s: String): String = if (s == null) "" else s.trim
+}

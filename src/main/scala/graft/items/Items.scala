@@ -1,0 +1,95 @@
+package graft.items
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.ImageItem
+
+/** Item landing: last-writer-wins merge-on-key (the reference's
+  * `update({key}, item, {upsert:true})`, src/db/item.js:86-99) plus
+  * phash-based near-duplicate suppression (north rule).
+  *
+  * With a real Iceberg catalog the merge is `MERGE INTO`; here it is the
+  * equivalent Spark plan: rank incoming per key, split created/updated via
+  * key join, and rewrite the snapshot. One shuffle on `key` per superstep.
+  */
+object Items {
+
+  /** An item tagged with the frontier job (urlKey) that produced it — used
+    * to attribute created/updated counts back to per-job stats
+    * (reference: src/worker.js:235-238).
+    */
+  case class Landed(srcJob: Long, item: ImageItem)
+
+  /** Deduplicate incoming within the batch (one winner per key:
+    * lowest srcJob then image_id — deterministic), then merge into `prev`.
+    * Returns (new items table, per-key flags (key, srcJob, wasNew)).
+    */
+  def merge(prev: Dataset[ImageItem], incoming: Dataset[Landed])
+      : (Dataset[ImageItem], DataFrame) = {
+    val spark = prev.sparkSession
+    import spark.implicits._
+
+    val winners = incoming
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("item.key"))
+          .orderBy(col("srcJob").asc, col("item.image_id").asc)))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .cache()
+
+    val prevKeys = prev.select(col("key"))
+    val flags = winners
+      .select(col("item.key").as("key"), col("srcJob"))
+      .join(prevKeys.withColumn("existed", lit(true)), Seq("key"), "left")
+      .withColumn("wasNew", col("existed").isNull)
+      .drop("existed")
+
+    val newItems = winners.select(col("item.*")).as[ImageItem]
+    val merged = prev
+      .join(winners.select(col("item.key").as("key")), Seq("key"), "left_anti")
+      .as[ImageItem]
+      .unionByName(newItems)
+    (merged, flags)
+  }
+
+  /** Drop incoming items that are perceptual near-duplicates (hamming ≤ t on
+    * the 64-bit phash) of an existing item or of a lower-keyed incoming item.
+    *
+    * Scale path: LSH banding — 8 bands × 8 bits. Any pair within hamming ≤ 7
+    * shares at least one intact band (pigeonhole), so candidate generation is
+    * an equi-join on (band, value): shuffle-joinable at any scale, no O(n²)
+    * pairwise scan. Candidates are verified exactly with
+    * `bit_count(phash XOR phash) ≤ t` (codegen'd built-ins, no UDF).
+    */
+  def suppressNearDups(
+      incoming: Dataset[ImageItem],
+      existing: Dataset[ImageItem],
+      t: Int = 3): Dataset[ImageItem] = {
+    val spark = incoming.sparkSession
+    import spark.implicits._
+
+    def bandedCols(df: DataFrame, side: String): DataFrame = {
+      val bands = array((0 until 8).map(b =>
+        shiftright(col("phash"), b * 8).bitwiseAND(lit(255L))): _*)
+      df.select(col("key").as(s"${side}_key"), col("phash").as(s"${side}_phash"),
+          posexplode(bands).as(Seq("bandIdx", "bandVal")))
+    }
+
+    val inc = bandedCols(incoming.toDF(), "inc")
+    val oldB = bandedCols(existing.toDF(), "old")
+
+    val vsExisting = inc.join(oldB, Seq("bandIdx", "bandVal"))
+      .filter(bit_count(col("inc_phash").bitwiseXOR(col("old_phash"))) <= lit(t))
+      .select(col("inc_key").as("key")).distinct()
+
+    val incB2 = bandedCols(incoming.toDF(), "b")
+    val vsIncoming = inc.join(incB2, Seq("bandIdx", "bandVal"))
+      .filter(col("b_key") < col("inc_key"))
+      .filter(bit_count(col("inc_phash").bitwiseXOR(col("b_phash"))) <= lit(t))
+      .select(col("inc_key").as("key")).distinct()
+
+    incoming.join(vsExisting.union(vsIncoming).distinct(), Seq("key"), "left_anti")
+      .as[ImageItem]
+  }
+}

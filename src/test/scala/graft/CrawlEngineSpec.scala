@@ -1,0 +1,141 @@
+package graft
+
+import graft.corpus._
+import graft.engine.{CrawlEngine, EngineConfig}
+import graft.fetch.CorpusFetcher
+import graft.model.RobotsRule
+
+/** End-to-end engine invariants — the Spark re-expression of the reference's
+  * engine/worker test suite (reference: test/worker.js:90-100 pagination to
+  * finish, test/nest.js:56-114 concurrency cap, test/item.js:43-66 upsert).
+  */
+class CrawlEngineSpec extends SparkSpec {
+
+  val spec = CorpusSpec(hosts = 2, listPages = 3, detailsPerList = 4)
+  lazy val fetcher = new CorpusFetcher(SyntheticCorpus.buildLocal(spec))
+  lazy val routes = SiteRoutes.registry(spec)
+
+  def newEngine(dir: String, maxSteps: Int = 10000,
+      robots: Seq[RobotsRule] = Nil): CrawlEngine =
+    new CrawlEngine(spark, routes, fetcher, robots,
+      EngineConfig(statePath = dir, hostBudget = 2, maxSteps = maxSteps,
+        bloomPartitions = 4, bloomCapacityPerShard = 1 << 16))
+
+  /** ids of details that exist (not planted-404). */
+  def liveIds: Seq[Long] = (0L until spec.totalDetails).filter(_ % spec.deadMod != 7)
+  /** ids suppressed as near-dups: one member of each planted pair that both landed. */
+  def nearDupPairs: Seq[(Long, Long)] =
+    (0L until spec.totalDetails)
+      .filter(id => id % spec.nearDupMod == 3 && id > 0)
+      .map(id => (id - 1, id))
+      .filter { case (a, b) => a % spec.deadMod != 7 && b % spec.deadMod != 7 }
+
+  test("full crawl: pagination, dedup, retry, dead-letter, phash suppression") {
+    val dir = tmpDir("engine-e2e")
+    val eng = newEngine(dir)
+    eng.seed(SyntheticCorpus.seeds(spec))
+    val sum = eng.run()
+    assert(sum.steps > 0)
+
+    // pagination-to-finish (reference test/worker.js:90-100): every listing
+    // job crawled all its pages and finished.
+    val listings = eng.frontier.filter(_.routeId == SyntheticCorpus.LISTING).collect()
+    assert(listings.length == spec.hosts)
+    listings.foreach { j =>
+      assert(j.state.finished, s"listing ${j.url} not finished")
+      assert(j.stats.pages == spec.listPages, s"listing ${j.url} pages=${j.stats.pages}")
+      assert(j.stats.spawned == spec.listPages * spec.detailsPerList)
+    }
+
+    // every live detail fetched exactly once per key; near-dups suppressed
+    val items = eng.items.collect()
+    val expectedSuppressed = nearDupPairs.size
+    assert(items.length == liveIds.size - expectedSuppressed,
+      s"items=${items.length} live=${liveIds.size} suppressed=$expectedSuppressed")
+
+    // caption exact-equality + phash parity + PSNR gate per row (input_hint)
+    val corpus = SyntheticCorpus.buildLocal(spec)
+    items.foreach { it =>
+      val row = corpus(it.link)
+      assert(it.caption == row.caption, s"caption mismatch for ${it.link}")
+      assert(it.phash == row.phash, s"phash mismatch for ${it.link}")
+      assert(java.util.Arrays.equals(it.bytes, row.body))
+      if (it.fmt == "jpeg") {
+        // near-dup rows are rendered from (id-1)'s params with a phase jitter
+        val id = it.image_id.toLong
+        val isNearDup = id % spec.nearDupMod == 3 && id > 0
+        val orig = Images.synth(if (isNearDup) id - 1 else id,
+          spec.imgW, spec.imgH, if (isNearDup) 0.02 else 0.0)
+        assert(Images.psnr(orig, Images.decode(it.bytes)) >= 40.0)
+      }
+    }
+
+    // dead letters: every planted-404 id exactly once (4xx → stop, no retry)
+    val dead = eng.deadLetters.collect()
+    val dead404 = dead.filter(_.status == 404)
+    assert(dead404.length == (0L until spec.totalDetails).count(_ % spec.deadMod == 7))
+
+    // flaky 500s: retried then succeeded — metrics show retries, and the
+    // flaky ids still landed (unless suppressed as a near-dup)
+    val m = eng.metrics.collect()
+    val retried = m.map(_.retried).sum
+    val flakyIds = liveIds.filter(_ % spec.flakyMod == 5)
+    assert(retried == flakyIds.size, s"retried=$retried expected=${flakyIds.size}")
+
+    // politeness: per (step, host) fetches never exceed the host budget
+    m.foreach(row => assert(row.fetched <= 2, s"budget breach: $row"))
+
+    // frontier is fully drained
+    assert(eng.frontier.filter(!_.state.finished).count() == 0)
+    // re-running is a no-op (idempotent completion)
+    assert(!eng.step())
+  }
+
+  test("kill after step k → resume → identical final state") {
+    val specSmall = spec
+    val dirA = tmpDir("engine-killed")
+    val a = new CrawlEngine(spark, routes, fetcher, Nil,
+      EngineConfig(statePath = dirA, hostBudget = 2, maxSteps = 3,
+        bloomPartitions = 4, bloomCapacityPerShard = 1 << 16))
+    a.seed(SyntheticCorpus.seeds(specSmall))
+    a.run() // stops after 3 supersteps — the "kill"
+    val resumed = new CrawlEngine(spark, routes, fetcher, Nil,
+      EngineConfig(statePath = dirA, hostBudget = 2,
+        bloomPartitions = 4, bloomCapacityPerShard = 1 << 16))
+    resumed.resume()
+
+    val dirB = tmpDir("engine-straight")
+    val b = newEngine(dirB)
+    b.seed(SyntheticCorpus.seeds(specSmall))
+    b.run()
+
+    val keysA = resumed.items.collect().map(_.key).sorted
+    val keysB = b.items.collect().map(_.key).sorted
+    assert(keysA.sameElements(keysB), "resumed items differ from straight run")
+    val fA = resumed.frontier.collect().map(j => (j.urlKey, j.state.finished,
+      j.stats.pages, j.state.currentPage)).sortBy(_._1)
+    val fB = b.frontier.collect().map(j => (j.urlKey, j.state.finished,
+      j.stats.pages, j.state.currentPage)).sortBy(_._1)
+    assert(fA.sameElements(fB), "resumed frontier differs from straight run")
+  }
+
+  test("robots: disallowed prefix blocks, crawl-delay throttles") {
+    val dir = tmpDir("engine-robots")
+    val rules = Seq(
+      RobotsRule("h0.test", "/img/", allow = false, 0), // block all h0 details
+      RobotsRule("h1.test", "/", allow = true, 2))      // h1: 2-step crawl delay
+    val eng = newEngine(dir, robots = rules)
+    eng.seed(SyntheticCorpus.seeds(spec))
+    eng.run()
+    val items = eng.items.collect()
+    assert(items.nonEmpty)
+    assert(!items.exists(_.link.contains("h0.test/img/")), "robots-blocked item landed")
+    // crawl delay: h1 fetched at most every 3rd step (step s, next ≥ s+1+2)
+    val h1Steps = eng.metrics.filter(_.host == "h1.test").collect()
+      .filter(_.fetched > 0).map(_.step).sorted
+    h1Steps.sliding(2).foreach {
+      case Array(x, y) => assert(y - x >= 2, s"crawl delay breach: $x → $y")
+      case _ =>
+    }
+  }
+}
