@@ -19,6 +19,14 @@ import graft.state.SnapshotStore
 case class DeadLetter(urlKey: Long, url: String, host: String, routeId: String,
     status: Int, errorCount: Int, step: Int)
 
+/** One row per fetch — the engine's dequeue/crawl-ordering record (north
+  * rule: ordering parity vs the oracle is asserted on this log; within a
+  * (step, host) wave rows are unordered parallel fetches, compared after
+  * sorting by the scheduler's own (priority, createdStep, urlKey) order).
+  */
+case class FetchLog(step: Int, host: String, urlKey: Long, url: String,
+    page: Int, status: Int, priority: Int, createdStep: Int)
+
 case class EngineConfig(
     statePath: String,
     /** max fetches per host per superstep — the politeness budget. */
@@ -84,6 +92,8 @@ final class CrawlEngine(
     spark.read.parquet(store.tablePath(v, "metrics")).as[StepMetrics]
   private def readDead(v: Int): Dataset[DeadLetter] =
     spark.read.parquet(store.tablePath(v, "dead")).as[DeadLetter]
+  private def readFetchLog(v: Int): Dataset[FetchLog] =
+    spark.read.parquet(store.tablePath(v, "fetchlog")).as[FetchLog]
 
   def currentVersion: Option[Int] = store.latestVersion
   def stepOf(v: Int): Int = {
@@ -96,6 +106,7 @@ final class CrawlEngine(
   def items: Dataset[ImageItem] = readItems(currentVersion.get)
   def metrics: Dataset[StepMetrics] = readMetrics(currentVersion.get)
   def deadLetters: Dataset[DeadLetter] = readDead(currentVersion.get)
+  def fetchLog: Dataset[FetchLog] = readFetchLog(currentVersion.get)
 
   // ---- seeding --------------------------------------------------------
 
@@ -134,6 +145,7 @@ final class CrawlEngine(
       spark.emptyDataset[ImageItem].write.parquet(s"$dir/items")
       spark.emptyDataset[StepMetrics].write.parquet(s"$dir/metrics")
       spark.emptyDataset[DeadLetter].write.parquet(s"$dir/dead")
+      spark.emptyDataset[FetchLog].write.parquet(s"$dir/fetchlog")
       bloom.write.parquet(s"$dir/bloom")
     }
     jobsP.unpersist()
@@ -148,14 +160,33 @@ final class CrawlEngine(
   def step(): Boolean = {
     val v = currentVersion.getOrElse(
       throw new IllegalStateException("seed() first — no snapshot"))
-    val s = stepOf(v) + 1
+    var s = stepOf(v) + 1
 
     val front = readFrontier(v)
-    val wave = Politeness.wave(front, s, cfg.hostBudget, routeCaps,
+    var wave = Politeness.wave(front, s, cfg.hostBudget, routeCaps,
         cfg.disabledRoutes, cfg.saltBuckets)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val waveN = wave.count()
-    if (waveN == 0) { wave.unpersist(); return false }
+    var waveN = wave.count()
+    if (waveN == 0) {
+      // Nothing eligible *now*, but retry-backoff / crawl-delay jobs may be
+      // waiting on a future step — jump the clock to the earliest one (the
+      // analogue of the reference worker's idle poll-sleep, worker.js:108-110).
+      wave.unpersist()
+      val pending = front
+        .filter(!col("state.finished"))
+        .filter(if (cfg.disabledRoutes.isEmpty) lit(true)
+                else !col("routeId").isin(cfg.disabledRoutes.toSeq: _*))
+        .agg(min(col("notBeforeStep"))).head()
+      if (pending.isNullAt(0)) return false
+      val nxt = pending.getInt(0)
+      if (nxt <= s) return false // safety: no forward progress possible
+      s = nxt
+      wave = Politeness.wave(front, s, cfg.hostBudget, routeCaps,
+          cfg.disabledRoutes, cfg.saltBuckets)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      waveN = wave.count()
+      if (waveN == 0) { wave.unpersist(); return false }
+    }
 
     // -- fetch+extract (narrow; wave is already salted-partitioned) ------
     val outcomes = FetchStage.run(wave, routesBc, fetcherBc)
@@ -331,6 +362,9 @@ final class CrawlEngine(
         col("jobsSpawned"), col("jobsDeduped"))
       .as[StepMetrics]
     val metrics2 = readMetrics(v).unionByName(stepMetrics)
+    val fetchLog2 = readFetchLog(v).unionByName(outcomes.map(o =>
+      FetchLog(s, o.job.host, o.job.urlKey, o.job.url, o.job.state.currentPage,
+        o.status, o.job.priority, o.job.createdStep)))
 
     // -- commit -----------------------------------------------------------
     val itemsP = mergedItems.persist(StorageLevel.MEMORY_AND_DISK)
@@ -344,6 +378,7 @@ final class CrawlEngine(
       frontierP.write.parquet(s"$dir/frontier")
       itemsP.write.parquet(s"$dir/items")
       metrics2.write.parquet(s"$dir/metrics")
+      fetchLog2.write.parquet(s"$dir/fetchlog")
       dead.write.parquet(s"$dir/dead")
       bloom2.write.parquet(s"$dir/bloom")
     }
