@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.corpus.{CorpusSpec, SiteRoutes, SynthFetcher, SyntheticCorpus}
+import graft.engine.{CrawlEngine, EngineConfig}
+
+/** N-vs-4N scaling evidence (BASELINE.md row "scaling efficiency").
+  *
+  * No real cluster exists in this sandbox, so the north rule's two-cluster
+  * criterion is evidenced as the same crawl at local[8] (N) vs local[32]
+  * (4N) on identical input, reporting sustained fetched-URLs/sec at both and
+  * efficiency = (throughput@4N / throughput@N) / 4, target ≥ 0.8.
+  *
+  * The workload: a synthetic image site large enough that fetch+extract
+  * compute (render, PNG/JPEG encode, decode, phash — stand-ins for network
+  * + parse) dominates the per-superstep coordination overhead, as it does on
+  * a real crawl. Pages are synthesized on demand in executors (no driver
+  * corpus, no broadcast payloads).
+  *
+  * Usage: runMain graft.ScalingBench [hosts listPages detailsPerList budget imgSize]
+  * Writes BENCH.md and prints one JSON line.
+  */
+object ScalingBench {
+
+  case class Level(cores: Int, fetched: Long, items: Long, steps: Int, sec: Double) {
+    def throughput: Double = fetched / sec
+  }
+
+  def runLevel(cores: Int, spec: CorpusSpec, budget: Int): Level = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "false") // skew handled by salting; AQE job-splitting only adds superstep latency at this cadence
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val eng = new CrawlEngine(spark, SiteRoutes.registry(spec),
+        new SynthFetcher(spec), Nil,
+        EngineConfig(
+          statePath = java.nio.file.Files.createTempDirectory(s"scale$cores").toString,
+          hostBudget = budget,
+          bloomPartitions = 8, bloomCapacityPerShard = 1 << 22,
+          saltBuckets = 16))
+      eng.seed(SyntheticCorpus.seeds(spec))
+      val t0 = System.nanoTime()
+      val sum = eng.run()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Level(cores, sum.fetched, sum.items, sum.steps, sec)
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val hosts = args.lift(0).map(_.toInt).getOrElse(384)
+    val listPages = args.lift(1).map(_.toInt).getOrElse(3)
+    val details = args.lift(2).map(_.toInt).getOrElse(28)
+    val budget = args.lift(3).map(_.toInt).getOrElse(48)
+    val img = args.lift(4).map(_.toInt).getOrElse(128)
+    val spec = CorpusSpec(hosts = hosts, listPages = listPages,
+      detailsPerList = details, imgW = img, imgH = img)
+
+    val n = runLevel(8, spec, budget)
+    val n4 = runLevel(32, spec, budget)
+    val eff = (n4.throughput / n.throughput) / 4.0
+
+    val md =
+      f"""# BENCH — crawl scaling (N vs 4N, sandbox proxy for executors)
+         |
+         |Workload: synthetic image site — ${spec.hosts} hosts × ${spec.listPages} listing pages
+         |× ${spec.detailsPerList} details (= ${spec.totalDetails} image pages, ${img}×${img} px,
+         |PNG/JPEG mixed), politeness budget $budget fetches/host/superstep, robots off,
+         |bloom 8×${1 << 22} capacity. Pages synthesized on demand in executors
+         |(graft.corpus.SynthFetcher); fetch+extract = render + encode + decode + phash.
+         |
+         || level | cores | fetched URLs | items | supersteps | wall sec | URLs/sec |
+         ||---|---|---|---|---|---|---|
+         || N  | ${n.cores} | ${n.fetched} | ${n.items} | ${n.steps} | ${n.sec}%.1f | ${n.throughput}%.1f |
+         || 4N | ${n4.cores} | ${n4.fetched} | ${n4.items} | ${n4.steps} | ${n4.sec}%.1f | ${n4.throughput}%.1f |
+         |
+         |**Scaling efficiency = (thr@4N / thr@N) / 4 = $eff%.3f** (target ≥ 0.8,
+         |BASELINE.json north_rule; local[8]→local[32] on one machine is the sandbox
+         |stand-in for N→4N executors — same input, same plans, shuffle partitions =
+         |cores).
+         |""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"), md)
+    println(
+      f"""{"metric":"crawl_scaling","n_cores":${n.cores},"n_urls_per_sec":${n.throughput}%.1f,"n4_cores":${n4.cores},"n4_urls_per_sec":${n4.throughput}%.1f,"efficiency":$eff%.3f,"fetched":${n4.fetched}}""")
+  }
+}

@@ -19,13 +19,18 @@ import graft.state.SnapshotStore
 case class DeadLetter(urlKey: Long, url: String, host: String, routeId: String,
     status: Int, errorCount: Int, step: Int)
 
-/** One row per fetch — the engine's dequeue/crawl-ordering record (north
-  * rule: ordering parity vs the oracle is asserted on this log; within a
+/** One row per fetch — the engine's dequeue/crawl-ordering record AND the
+  * source of all observability: metrics and dead letters are aggregations /
+  * filters over this log at READ time, so supersteps pay exactly one
+  * narrow log write (north rule: per-partition lineage + fetch metrics;
+  * ordering parity vs the oracle is asserted on this log — within a
   * (step, host) wave rows are unordered parallel fetches, compared after
   * sorting by the scheduler's own (priority, createdStep, urlKey) order).
   */
 case class FetchLog(step: Int, host: String, urlKey: Long, url: String,
-    page: Int, status: Int, priority: Int, createdStep: Int)
+    routeId: String, page: Int, status: Int, priority: Int, createdStep: Int,
+    action: String, errorCount: Int, spawnCount: Int,
+    itemsCreated: Long, itemsUpdated: Long)
 
 case class EngineConfig(
     statePath: String,
@@ -43,7 +48,9 @@ case class EngineConfig(
     bloomFpp: Double = 0.01,
     saltBuckets: Int = 16,
     /** snapshots older than latest-N are expired after each commit. */
-    retainSnapshots: Int = 4)
+    retainSnapshots: Int = 4,
+    /** probe the seen-set via broadcast sketches while total size fits. */
+    bloomBroadcastMaxBytes: Long = 256L << 20)
 
 /** Per-run roll-up returned by [[CrawlEngine.run]]. */
 case class RunSummary(steps: Int, fetched: Long, items: Long, deadLettered: Long)
@@ -82,18 +89,67 @@ final class CrawlEngine(
 
   // ---- state table IO -------------------------------------------------
 
+  // explicit schemas skip per-read footer-inference jobs (one driver-side
+  // Spark job per read.parquet call otherwise — material at superstep rate)
+  private val jobSchema = org.apache.spark.sql.Encoders.product[CrawlJob].schema
+  private val shardSchema = org.apache.spark.sql.Encoders.product[BloomShard].schema
+  private val itemSchema = org.apache.spark.sql.Encoders.product[ImageItem].schema
+  private val fetchLogSchema = org.apache.spark.sql.Encoders.product[FetchLog].schema
+  private def dropStep(t: org.apache.spark.sql.types.StructType) =
+    org.apache.spark.sql.types.StructType(t.filterNot(_.name == "step"))
+
   private def readFrontier(v: Int): Dataset[CrawlJob] =
-    spark.read.parquet(store.tablePath(v, "frontier")).as[CrawlJob]
-  private def readItems(v: Int): Dataset[ImageItem] =
-    spark.read.parquet(store.tablePath(v, "items")).as[ImageItem]
+    spark.read.schema(jobSchema).parquet(store.tablePath(v, "frontier")).as[CrawlJob]
   private def readBloom(v: Int): Dataset[BloomShard] =
-    spark.read.parquet(store.tablePath(v, "bloom")).as[BloomShard]
-  private def readMetrics(v: Int): Dataset[StepMetrics] =
-    spark.read.parquet(store.tablePath(v, "metrics")).as[StepMetrics]
-  private def readDead(v: Int): Dataset[DeadLetter] =
-    spark.read.parquet(store.tablePath(v, "dead")).as[DeadLetter]
-  private def readFetchLog(v: Int): Dataset[FetchLog] =
-    spark.read.parquet(store.tablePath(v, "fetchlog")).as[FetchLog]
+    spark.read.schema(shardSchema).parquet(store.tablePath(v, "bloom")).as[BloomShard]
+
+  // Item deltas and observability logs are APPEND-ONLY side tables, written
+  // once per superstep into step=N partition dirs and never rewritten
+  // (Iceberg merge-on-read shape: O(step) IO instead of O(items·steps)
+  // copy-on-write). Only {frontier, bloom} — the resume-critical state — are
+  // snapshot-versioned; readers filter partitions to the committed step, so
+  // an uncommitted delta from a killed run is invisible (and is cleaned and
+  // deterministically rewritten on resume).
+  private def deltaDir = s"${cfg.statePath}/items_delta"
+  private def logDir(name: String) = s"${cfg.statePath}/logs/$name"
+
+  private def readStepPartitioned(base: String, upToStep: Int): Option[DataFrame] = {
+    val d = new java.io.File(base)
+    if (!d.isDirectory || d.listFiles() == null || d.listFiles().isEmpty) None
+    else Some(spark.read.parquet(base).filter(col("step") <= upToStep))
+  }
+
+  private def readStepPartitioned(base: String, upToStep: Int,
+      dataSchema: org.apache.spark.sql.types.StructType): Option[DataFrame] = {
+    val d = new java.io.File(base)
+    if (!d.isDirectory || d.listFiles() == null || d.listFiles().isEmpty) None
+    else Some(spark.read.schema(dataSchema.add("step", "int"))
+      .parquet(base).filter(col("step") <= upToStep))
+  }
+
+  private def readItemDeltas(upToStep: Int): Dataset[ImageItem] =
+    readStepPartitioned(deltaDir, upToStep, itemSchema)
+      .map(_.drop("step").as[ImageItem])
+      .getOrElse(spark.emptyDataset[ImageItem])
+
+  private def readFetchLogUpTo(upToStep: Int): Dataset[FetchLog] =
+    readStepPartitioned(logDir("fetchlog"), upToStep, dropStep(fetchLogSchema))
+      .map(_.as[FetchLog]).getOrElse(spark.emptyDataset[FetchLog])
+
+  /** Remove step partitions newer than the committed step (left by a killed
+    * run between delta write and snapshot commit).
+    */
+  private def cleanStale(base: String, committed: Int): Unit = {
+    val d = new java.io.File(base)
+    if (d.isDirectory) Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val n = f.getName
+      if (n.startsWith("step=") && n.substring(5).toInt > committed) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(f.toPath).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.delete)
+      }
+    }
+  }
 
   def currentVersion: Option[Int] = store.latestVersion
   def stepOf(v: Int): Int = {
@@ -103,10 +159,30 @@ final class CrawlEngine(
   }
 
   def frontier: Dataset[CrawlJob] = readFrontier(currentVersion.get)
-  def items: Dataset[ImageItem] = readItems(currentVersion.get)
-  def metrics: Dataset[StepMetrics] = readMetrics(currentVersion.get)
-  def deadLetters: Dataset[DeadLetter] = readDead(currentVersion.get)
-  def fetchLog: Dataset[FetchLog] = readFetchLog(currentVersion.get)
+  def items: Dataset[ImageItem] =
+    Items.resolve(readItemDeltas(stepOf(currentVersion.get)))
+  def fetchLog: Dataset[FetchLog] = readFetchLogUpTo(stepOf(currentVersion.get))
+
+  /** Read-time aggregation of the fetch log (see [[FetchLog]]). */
+  def metrics: Dataset[StepMetrics] =
+    fetchLog.groupBy(col("step"), col("host"))
+      .agg(count(lit(1)).as("fetched"),
+        sum(when(col("action") === "ok", 1L).otherwise(0L)).as("ok"),
+        sum(when(col("status") >= 400, 1L).otherwise(0L)).as("errors"),
+        sum(when(col("action") === "retry", 1L).otherwise(0L)).as("retried"),
+        sum(when(col("status") >= 400 && col("action") === "stop", 1L).otherwise(0L))
+          .as("deadLettered"),
+        sum(col("itemsCreated")).as("itemsCreated"),
+        sum(col("itemsUpdated")).as("itemsUpdated"),
+        sum(col("spawnCount").cast("long")).as("jobsSpawned"))
+      .as[StepMetrics]
+
+  /** Read-time filter of the fetch log: permanently-failed fetches. */
+  def deadLetters: Dataset[DeadLetter] =
+    fetchLog.filter(col("status") >= 400 && col("action") === "stop")
+      .select(col("urlKey"), col("url"), col("host"),
+        col("routeId"), col("status"), col("errorCount"), col("step"))
+      .as[DeadLetter]
 
   // ---- seeding --------------------------------------------------------
 
@@ -139,13 +215,8 @@ final class CrawlEngine(
       BloomSeen.empty(spark, cfg.bloomPartitions, cfg.bloomCapacityPerShard, cfg.bloomFpp),
       jobsP.map(_.urlKey), cfg.bloomPartitions)
     store.commit(0, SnapshotStore.manifestJson(
-      "version" -> 0, "step" -> -1, "frontier" -> n, "items" -> 0L,
-      "dead" -> 0L)) { dir =>
+      "version" -> 0, "step" -> -1, "frontier" -> n)) { dir =>
       jobsP.write.parquet(s"$dir/frontier")
-      spark.emptyDataset[ImageItem].write.parquet(s"$dir/items")
-      spark.emptyDataset[StepMetrics].write.parquet(s"$dir/metrics")
-      spark.emptyDataset[DeadLetter].write.parquet(s"$dir/dead")
-      spark.emptyDataset[FetchLog].write.parquet(s"$dir/fetchlog")
       bloom.write.parquet(s"$dir/bloom")
     }
     jobsP.unpersist()
@@ -160,12 +231,18 @@ final class CrawlEngine(
   def step(): Boolean = {
     val v = currentVersion.getOrElse(
       throw new IllegalStateException("seed() first — no snapshot"))
-    var s = stepOf(v) + 1
+    val committed = stepOf(v)
+    var s = committed + 1
+    Seq(deltaDir, logDir("fetchlog")).foreach(cleanStale(_, committed))
 
     val front = readFrontier(v)
+    // localCheckpoint (eager) on shared intermediates: truncates lineage so
+    // every downstream action analyzes a shallow scan instead of re-planning
+    // the whole superstep tree — catalyst planning time was ~half of each
+    // superstep's wall clock before this (measured via SparkListener).
     var wave = Politeness.wave(front, s, cfg.hostBudget, routeCaps,
         cfg.disabledRoutes, cfg.saltBuckets)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var waveN = wave.count()
     if (waveN == 0) {
       // Nothing eligible *now*, but retry-backoff / crawl-delay jobs may be
@@ -183,28 +260,32 @@ final class CrawlEngine(
       s = nxt
       wave = Politeness.wave(front, s, cfg.hostBudget, routeCaps,
           cfg.disabledRoutes, cfg.saltBuckets)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       waveN = wave.count()
       if (waveN == 0) { wave.unpersist(); return false }
     }
 
     // -- fetch+extract (narrow; wave is already salted-partitioned) ------
     val outcomes = FetchStage.run(wave, routesBc, fetcherBc)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
-    // -- items path ------------------------------------------------------
-    val prevItems = readItems(v)
+    // -- items path (append-only deltas; merge-on-read) ------------------
+    val prevDeltas = readItemDeltas(committed)
+      .select(col("key"), col("phash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val landedRaw = outcomes.flatMap(o =>
       o.items.map(it => Items.Landed(o.job.urlKey, it.copy(createdStep = s))))
     val landed =
       if (cfg.phashThreshold >= 0) {
         val keep = Items.suppressNearDups(
-          landedRaw.map(_.item), prevItems, cfg.phashThreshold)
+          landedRaw.map(_.item), prevDeltas, cfg.phashThreshold)
           .select(col("key")).distinct()
-        landedRaw.join(keep, landedRaw("item.key") === keep("key"), "left_semi")
+        landedRaw.join(broadcast(keep), landedRaw("item.key") === keep("key"), "left_semi")
           .as[Items.Landed]
       } else landedRaw
-    val (mergedItems, flags) = Items.merge(prevItems, landed)
+    val (delta0, flags0) = Items.mergeDelta(prevDeltas.select(col("key")), landed)
+    val delta = delta0.localCheckpoint(true)
+    val flags = flags0.localCheckpoint(true)
     val flagAgg = flags.groupBy(col("srcJob"))
       .agg(sum(when(col("wasNew"), 1L).otherwise(0L)).as("createdCnt"),
            sum(when(col("wasNew"), lit(0L)).otherwise(1L)).as("updatedCnt"))
@@ -228,18 +309,38 @@ final class CrawlEngine(
           .partitionBy(col("urlKey")).orderBy(col("routeId"))))
       .filter(col("rn") === 1).drop("rn", "rawUrl")
     val allowedJobs = Robots.allowed(canonical, robotsRules)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     val bloom = readBloom(v)
-    val probed = BloomSeen.probe(bloom, allowedJobs.select(col("urlKey")).as[Long],
-      cfg.bloomPartitions).toDF("urlKey", "might")
-    val definitelyNew = allowedJobs.join(probed.filter(!col("might")).drop("might"),
-      Seq("urlKey"), "left_semi")
-    val maybeSeen = allowedJobs.join(probed.filter(col("might")).drop("might"),
-      Seq("urlKey"), "left_semi")
-    // exact anti-join only on the bloom-positive sliver (false positives)
+    val sketchBytes = cfg.bloomPartitions *
+      BloomSeen.estimatedShardBytes(cfg.bloomCapacityPerShard, cfg.bloomFpp)
+    // While total sketch size fits the broadcast budget (i.e. until the
+    // frontier reaches billions of keys) the shards live driver-side:
+    // zero-shuffle broadcast probe + driver-merged insert. Beyond that the
+    // cogroup paths take over — same semantics, fully distributed.
+    val shardsLocal: Option[Array[BloomShard]] =
+      if (sketchBytes <= cfg.bloomBroadcastMaxBytes) Some(readBloom(v).collect())
+      else None
+    val probed = (if (shardsLocal.isDefined) {
+      val shardMap = shardsLocal.get.map(sh => sh.pid -> sh.sketch).toMap
+      BloomSeen.probeBroadcast(spark.sparkContext.broadcast(shardMap),
+        allowedJobs.select(col("urlKey")).as[Long], cfg.bloomPartitions)
+    } else {
+      BloomSeen.probe(bloom, allowedJobs.select(col("urlKey")).as[Long],
+        cfg.bloomPartitions)
+    }).toDF("urlKey", "might").persist(StorageLevel.MEMORY_AND_DISK)
+    val definitelyNew = allowedJobs.join(
+      broadcast(probed.filter(!col("might")).drop("might")), Seq("urlKey"), "left_semi")
+    val maybeSeen = allowedJobs.join(
+      broadcast(probed.filter(col("might")).drop("might")), Seq("urlKey"), "left_semi")
+    // Exact check only on the bloom-positive sliver (true hits + fpp·new).
+    // Flipped to two broadcast joins so the frontier is only column-scanned,
+    // never shuffled: confirm which sliver keys exist, then anti-join the
+    // sliver against that (small) confirmation set.
+    val seenConfirmed = front.select(col("urlKey"))
+      .join(broadcast(maybeSeen.select(col("urlKey"))), Seq("urlKey"), "left_semi")
     val confirmedNew = maybeSeen.join(
-      front.select(col("urlKey")), Seq("urlKey"), "left_anti")
+      broadcast(seenConfirmed), Seq("urlKey"), "left_anti")
     val prioByRoute = typedLit(routes.map { case (k, r) => k -> r.priority })
     val fresh = definitelyNew.unionByName(confirmedNew)
       .withColumn("priority", coalesce(element_at(prioByRoute, col("routeId")), lit(50)))
@@ -249,7 +350,7 @@ final class CrawlEngine(
       .map { case (k, u, h, r, p) =>
         CrawlJob(k, u, h, r, priority = p, createdStep = s + 1, notBeforeStep = s + 1)
       }
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // -- job-state updates ----------------------------------------------
     // locals only in executor closures — capturing fields would serialize `this`
@@ -258,9 +359,13 @@ final class CrawlEngine(
     val outDf = outcomes.map(o => (o.job, o.status, o.action, o.hasNextPage,
         o.newState, o.spawned.size))
       .toDF("job", "status", "action", "hasNext", "newState", "spawnCount")
-    val updatedWave = outDf
-      .join(flagAgg, outDf("job.urlKey") === flagAgg("srcJob"), "left")
+    // One enriched relation feeds BOTH the frontier rewrite and the fetch
+    // log — joined once, persisted, consumed twice.
+    val enriched = outDf
+      .join(broadcast(flagAgg), outDf("job.urlKey") === flagAgg("srcJob"), "left")
       .na.fill(0L, Seq("createdCnt", "updatedCnt"))
+      .localCheckpoint(true)
+    val updatedWave = enriched
       .select(col("job").as("_1"), col("status").as("_2"), col("action").as("_3"),
         col("hasNext").as("_4"), col("newState").as("_5"), col("spawnCount").as("_6"),
         col("createdCnt").as("_7"), col("updatedCnt").as("_8"))
@@ -297,16 +402,11 @@ final class CrawlEngine(
       }
 
 
-    // -- dead letters ----------------------------------------------------
-    val newDead = outcomes
-      .filter(o => o.status >= 400 && o.action == "stop")
-      .map(o => DeadLetter(o.job.urlKey, o.job.url, o.job.host, o.job.routeId,
-        o.status, o.job.errorCount, s))
-    val dead = readDead(v).unionByName(newDead)
-
     // -- frontier rewrite + per-host crawl-delay bump --------------------
+    // wave is bounded (hosts × budget) → broadcast anti-join: the frontier
+    // is scanned, not shuffled — the superstep's frontier rewrite is narrow.
     val waveKeys = wave.select(col("urlKey"))
-    val untouched = front.join(waveKeys, Seq("urlKey"), "left_anti").as[CrawlJob]
+    val untouched = front.join(broadcast(waveKeys), Seq("urlKey"), "left_anti").as[CrawlJob]
     val frontier2 = untouched.unionByName(updatedWave).unionByName(fresh)
     val frontier3 =
       if (hostDelay.isEmpty) frontier2
@@ -327,64 +427,40 @@ final class CrawlEngine(
       }
 
     // -- bloom update -----------------------------------------------------
-    val bloom2 = BloomSeen.insert(bloom, fresh.map(_.urlKey), cfg.bloomPartitions)
+    val bloom2 = shardsLocal match {
+      case Some(shards) =>
+        val byPid = fresh.map(_.urlKey).collect()
+          .groupBy(k => BloomSeen.pidOf(k, cfg.bloomPartitions))
+        spark.createDataset(shards.map(sh =>
+          byPid.get(sh.pid).map(ks => BloomSeen.insertLocal(sh, ks)).getOrElse(sh)).toSeq)
+      case None =>
+        BloomSeen.insert(bloom, fresh.map(_.urlKey), cfg.bloomPartitions)
+    }
 
-    // -- metrics ----------------------------------------------------------
-    val perHost = outcomes.map(o => (o.job.host,
-        if (o.action == "ok") 1L else 0L,
-        if (o.status >= 400) 1L else 0L,
-        if (o.action == "retry") 1L else 0L,
-        if (o.status >= 400 && o.action != "retry") 1L else 0L,
-        o.spawned.size.toLong))
-      .toDF("host", "ok", "err", "retried", "deadLettered", "spawned")
-      .groupBy(col("host"))
-      .agg(count(lit(1)).as("fetched"), sum(col("ok")).as("ok"),
-        sum(col("err")).as("errors"), sum(col("retried")).as("retried"),
-        sum(col("deadLettered")).as("deadLettered"),
-        sum(col("spawned")).as("jobsSpawned"))
-    val itemHost = flags.join(outDf.select(col("job.urlKey").as("srcJob"),
-        col("job.host").as("host")), Seq("srcJob"))
-      .groupBy(col("host"))
-      .agg(sum(when(col("wasNew"), 1L).otherwise(0L)).as("itemsCreated"),
-        sum(when(col("wasNew"), lit(0L)).otherwise(1L)).as("itemsUpdated"))
-    val freshHost = fresh.groupBy(col("host")).agg(count(lit(1)).as("freshJobs"))
-    val spawnTargets = allowedJobs.groupBy(col("host")).agg(count(lit(1)).as("spawnCandidates"))
-    val stepMetrics = perHost
-      .join(itemHost, Seq("host"), "left")
-      .join(spawnTargets.join(freshHost, Seq("host"), "left")
-        .withColumn("jobsDeduped",
-          col("spawnCandidates") - coalesce(col("freshJobs"), lit(0L)))
-        .select(col("host"), col("jobsDeduped")), Seq("host"), "outer")
-      .na.fill(0L)
-      .select(lit(s).as("step"), col("host"),
-        col("fetched"), col("ok"), col("errors"), col("retried"),
-        col("deadLettered"), col("itemsCreated"), col("itemsUpdated"),
-        col("jobsSpawned"), col("jobsDeduped"))
-      .as[StepMetrics]
-    val metrics2 = readMetrics(v).unionByName(stepMetrics)
-    val fetchLog2 = readFetchLog(v).unionByName(outcomes.map(o =>
-      FetchLog(s, o.job.host, o.job.urlKey, o.job.url, o.job.state.currentPage,
-        o.status, o.job.priority, o.job.createdStep)))
+    // -- fetch log (single observability write; see FetchLog scaladoc) ----
+    val stepFetchLog = enriched.select(
+      lit(s).as("step"), col("job.host").as("host"), col("job.urlKey").as("urlKey"),
+      col("job.url").as("url"), col("job.routeId").as("routeId"),
+      col("job.state.currentPage").as("page"), col("status"),
+      col("job.priority").as("priority"), col("job.createdStep").as("createdStep"),
+      col("action"), col("job.errorCount").as("errorCount"), col("spawnCount"),
+      col("createdCnt").as("itemsCreated"), col("updatedCnt").as("itemsUpdated"))
 
-    // -- commit -----------------------------------------------------------
-    val itemsP = mergedItems.persist(StorageLevel.MEMORY_AND_DISK)
-    val frontierP = frontier3.persist(StorageLevel.MEMORY_AND_DISK)
-    val nItems = itemsP.count()
-    val nFrontier = frontierP.count()
-    val nDead = dead.count()
+    // -- append-only writes (invisible until the snapshot commit below) ---
+    delta.coalesce(8).write.mode("overwrite").parquet(s"$deltaDir/step=$s")
+    stepFetchLog.drop("step").coalesce(1).write.mode("overwrite")
+      .parquet(s"${logDir("fetchlog")}/step=$s")
+
+    // -- commit: only resume-critical state is versioned ------------------
     store.commit(v + 1, SnapshotStore.manifestJson(
-      "version" -> (v + 1), "step" -> s, "frontier" -> nFrontier,
-      "items" -> nItems, "dead" -> nDead, "fetched" -> waveN)) { dir =>
-      frontierP.write.parquet(s"$dir/frontier")
-      itemsP.write.parquet(s"$dir/items")
-      metrics2.write.parquet(s"$dir/metrics")
-      fetchLog2.write.parquet(s"$dir/fetchlog")
-      dead.write.parquet(s"$dir/dead")
+      "version" -> (v + 1), "step" -> s, "fetched" -> waveN)) { dir =>
+      frontier3.write.parquet(s"$dir/frontier")
       bloom2.write.parquet(s"$dir/bloom")
     }
     store.expire(v + 1 - cfg.retainSnapshots + 1)
 
-    Seq(wave, outcomes, allowedJobs, fresh, itemsP, frontierP).foreach(_.unpersist())
+    Seq(wave, outcomes, allowedJobs, fresh, prevDeltas, delta, flags, probed,
+        enriched).foreach(_.unpersist())
     true
   }
 

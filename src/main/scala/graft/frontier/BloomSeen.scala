@@ -1,6 +1,7 @@
 package graft.frontier
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -54,6 +55,40 @@ object BloomSeen {
         }
       }
   }
+
+  /** Broadcast fast path for [[probe]]: when the total sketch size fits the
+    * broadcast budget (it does until the frontier reaches billions of keys),
+    * ship the shards to executors once and probe with a narrow map — zero
+    * shuffles. The cogroup [[probe]] remains the big-frontier path; the
+    * engine picks by estimated sketch size.
+    */
+  def probeBroadcast(shards: Broadcast[Map[Int, Array[Byte]]],
+      keys: Dataset[Long], partitions: Int): Dataset[(Long, Boolean)] = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    val p = partitions
+    keys.mapPartitions { it =>
+      val cache = scala.collection.mutable.Map.empty[Int, BloomFilter]
+      it.map { k =>
+        val pid = pidOf(k, p)
+        val bf = cache.getOrElseUpdate(pid, deserialize(shards.value(pid)))
+        (k, bf.mightContainLong(k))
+      }
+    }
+  }
+
+  /** Driver-side single-shard insert (small-frontier fast path). */
+  def insertLocal(shard: BloomShard, keys: Array[Long]): BloomShard = {
+    val bf = deserialize(shard.sketch)
+    keys.foreach(bf.putLong)
+    BloomShard(shard.pid, serialize(bf))
+  }
+
+  /** Bytes one shard occupies at `capacity`/`fpp` (optimal-m bloom math) —
+    * used to decide broadcast vs cogroup probing without touching data.
+    */
+  def estimatedShardBytes(capacity: Long, fpp: Double): Long =
+    (math.ceil(-capacity * math.log(fpp) / (math.log(2) * math.log(2))) / 8).toLong + 32
 
   /** Probe: (key, mightContain). Definite negatives are certainly unseen and
     * skip the exact anti-join; positives (incl. false positives at `fpp`) go

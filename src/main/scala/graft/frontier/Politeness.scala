@@ -11,26 +11,29 @@ import graft.model.CrawlJob
   * concurrency gate (reference: src/nest.js:170-173 sort by priority,
   * nest.js:238-261 concurrency cap) with a deterministic BSP wave:
   * each superstep takes, per host, the top `hostBudget` eligible jobs in
-  * (priority DESC, createdStep ASC, urlKey ASC) order, after dropping jobs
-  * beyond their route's per-host concurrency cap — exactly the sequential
-  * "dequeue highest-priority, skip capped routes" semantics, computed as two
-  * ranking windows.
+  * (priority DESC, createdStep ASC, urlKey ASC) order, skipping jobs beyond
+  * their route's per-host concurrency cap — exactly the sequential
+  * "dequeue highest-priority, skip capped routes, backfill from the rest"
+  * semantics.
   *
-  * Skew (a hot host with millions of pending jobs) is handled by a two-phase
-  * top-k: a first ranking over (host, salt) — `salt = pmod(urlKey, S)` spreads
-  * one host over S partitions, each keeping at most its local budget — then
-  * the exact ranking over the ≤ S·k survivors per host. The second window
-  * sees bounded input regardless of frontier skew, so no single task ever
-  * ranks a whole hot host. (north rule: salted repartition + secondary sort.)
+  * Two phases, two shuffles:
+  *
+  *  1. *Salted pre-top-k* (skew guard): ranking over (host, salt, route)
+  *     with `salt = pmod(urlKey, S)` spreads a hot host over S partitions;
+  *     each (salt, route) keeps its local top-hostBudget, bounding survivors
+  *     per host at S·routes·hostBudget regardless of frontier skew — no
+  *     single task ever ranks a whole hot host. Ranked per-route because the
+  *     sequential dequeue backfills a capped route's slot from other routes,
+  *     so no route's candidates may crowd out another's during truncation.
+  *  2. *Exact sequential take*: repartition by host, sort within partitions
+  *     by (host, priority desc, createdStep, urlKey), and walk each host's
+  *     bounded candidate list once, applying route caps + host budget —
+  *     a single narrow pass (mapPartitions), no further ranking windows.
   */
 object Politeness {
 
   val orderCols = Seq(col("priority").desc, col("createdStep").asc, col("urlKey").asc)
 
-  /** Select the wave for `step`. `routeCaps` maps routeId → per-host cap
-    * (-1 = unlimited, reference route.js:56); `disabled` routes are excluded
-    * entirely (reference: config/engine.js:5-8 disabledRoutes).
-    */
   def wave(
       frontier: Dataset[CrawlJob],
       step: Int,
@@ -41,17 +44,11 @@ object Politeness {
     val spark = frontier.sparkSession
     import spark.implicits._
 
-    val caps = typedLit(routeCaps.filter(_._2 >= 0))
     val eligible = frontier
       .filter(!col("state.finished") && col("notBeforeStep") <= lit(step))
       .filter(if (disabled.isEmpty) lit(true) else !col("routeId").isin(disabled.toSeq: _*))
 
-    // Phase 1 — salted pre-top-k: bounds any single ranking partition.
-    // Ranked per (host, salt, route) so that each route retains its own
-    // top-hostBudget candidates: the sequential dequeue can backfill a
-    // route-capped slot from any other route, so no route's candidates may
-    // be crowded out by another's during pre-truncation. Survivors per host
-    // ≤ saltBuckets · routes · hostBudget — bounded, whatever the skew.
+    // Phase 1 — salted per-route pre-top-k (see scaladoc).
     val salted = Window
       .partitionBy(col("host"), pmod(col("urlKey"), lit(saltBuckets)), col("routeId"))
       .orderBy(orderCols: _*)
@@ -59,18 +56,28 @@ object Politeness {
       .withColumn("rs", row_number().over(salted))
       .filter(col("rs") <= lit(hostBudget))
       .drop("rs")
-
-    // Phase 2 — exact per-(host, route) cap, then per-host budget, over the
-    // bounded survivor set.
-    val byHostRoute = Window.partitionBy(col("host"), col("routeId")).orderBy(orderCols: _*)
-    val byHost = Window.partitionBy(col("host")).orderBy(orderCols: _*)
-    phase1
-      .withColumn("routeRank", row_number().over(byHostRoute))
-      .withColumn("cap", element_at(caps, col("routeId")))
-      .filter(col("cap").isNull || col("routeRank") <= col("cap"))
-      .withColumn("hostRank", row_number().over(byHost))
-      .filter(col("hostRank") <= lit(hostBudget))
-      .drop("routeRank", "cap", "hostRank")
       .as[CrawlJob]
+
+    // Phase 2 — exact sequential take per host over the bounded survivors.
+    val caps = routeCaps // local: avoid capturing enclosing refs in closure
+    val budget = hostBudget
+    phase1
+      .repartition(col("host"))
+      .sortWithinPartitions(Seq(col("host")) ++ orderCols: _*)
+      .mapPartitions { it =>
+        var curHost: String = null
+        var taken = 0
+        val routeCount = scala.collection.mutable.Map.empty[String, Int]
+        it.filter { j =>
+          if (j.host != curHost) {
+            curHost = j.host; taken = 0; routeCount.clear()
+          }
+          val cap = caps.getOrElse(j.routeId, -1)
+          val rc = routeCount.getOrElse(j.routeId, 0)
+          if (taken < budget && (cap < 0 || rc < cap)) {
+            taken += 1; routeCount(j.routeId) = rc + 1; true
+          } else false
+        }
+      }
   }
 }

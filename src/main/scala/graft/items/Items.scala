@@ -22,12 +22,18 @@ object Items {
   case class Landed(srcJob: Long, item: ImageItem)
 
   /** Deduplicate incoming within the batch (one winner per key:
-    * lowest srcJob then image_id — deterministic), then merge into `prev`.
-    * Returns (new items table, per-key flags (key, srcJob, wasNew)).
+    * lowest srcJob then image_id — deterministic) and flag created-vs-updated
+    * against the existing keys. Returns (delta to append, per-key flags
+    * (key, srcJob, wasNew)).
+    *
+    * Merge-on-read (Iceberg MOR-style): the engine appends the delta —
+    * nothing is rewritten; readers resolve last-writer-wins by
+    * (key, createdStep) via [[resolve]]. `prevKeys` need only the key
+    * column, so the existing-items scan is column-pruned to one column.
     */
-  def merge(prev: Dataset[ImageItem], incoming: Dataset[Landed])
+  def mergeDelta(prevKeys: DataFrame, incoming: Dataset[Landed])
       : (Dataset[ImageItem], DataFrame) = {
-    val spark = prev.sparkSession
+    val spark = incoming.sparkSession
     import spark.implicits._
 
     val winners = incoming
@@ -38,19 +44,27 @@ object Items {
       .drop("rn")
       .cache()
 
-    val prevKeys = prev.select(col("key"))
     val flags = winners
       .select(col("item.key").as("key"), col("srcJob"))
       .join(prevKeys.withColumn("existed", lit(true)), Seq("key"), "left")
       .withColumn("wasNew", col("existed").isNull)
       .drop("existed")
 
-    val newItems = winners.select(col("item.*")).as[ImageItem]
-    val merged = prev
-      .join(winners.select(col("item.key").as("key")), Seq("key"), "left_anti")
+    (winners.select(col("item.*")).as[ImageItem], flags)
+  }
+
+  /** Read-side LWW resolution over appended deltas: latest createdStep wins
+    * per key (ties impossible: one winner per key per step by construction).
+    */
+  def resolve(deltas: Dataset[ImageItem]): Dataset[ImageItem] = {
+    val spark = deltas.sparkSession
+    import spark.implicits._
+    deltas
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("createdStep").desc)))
+      .filter(col("rn") === 1)
+      .drop("rn")
       .as[ImageItem]
-      .unionByName(newItems)
-    (merged, flags)
   }
 
   /** Drop incoming items that are perceptual near-duplicates (hamming ≤ t on
@@ -64,7 +78,7 @@ object Items {
     */
   def suppressNearDups(
       incoming: Dataset[ImageItem],
-      existing: Dataset[ImageItem],
+      existing: DataFrame, // needs only (key, phash) — column-pruned scan
       t: Int = 3): Dataset[ImageItem] = {
     val spark = incoming.sparkSession
     import spark.implicits._
@@ -76,8 +90,11 @@ object Items {
           posexplode(bands).as(Seq("bandIdx", "bandVal")))
     }
 
-    val inc = bandedCols(incoming.toDF(), "inc")
-    val oldB = bandedCols(existing.toDF(), "old")
+    // incoming (one wave's items) is small vs existing (all landed items):
+    // broadcast the incoming bands so the existing side is scanned narrowly,
+    // never shuffled — at 10^9 landed items this join stays map-side.
+    val inc = broadcast(bandedCols(incoming.toDF(), "inc"))
+    val oldB = bandedCols(existing.select(col("key"), col("phash")), "old")
 
     val vsExisting = inc.join(oldB, Seq("bandIdx", "bandVal"))
       .filter(bit_count(col("inc_phash").bitwiseXOR(col("old_phash"))) <= lit(t))
@@ -89,7 +106,8 @@ object Items {
       .filter(bit_count(col("inc_phash").bitwiseXOR(col("b_phash"))) <= lit(t))
       .select(col("inc_key").as("key")).distinct()
 
-    incoming.join(vsExisting.union(vsIncoming).distinct(), Seq("key"), "left_anti")
+    incoming.join(broadcast(vsExisting.union(vsIncoming).distinct()),
+        Seq("key"), "left_anti")
       .as[ImageItem]
   }
 }

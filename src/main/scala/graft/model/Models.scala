@@ -143,7 +143,9 @@ case class RobotsRule(host: String, pathPrefix: String, allow: Boolean, crawlDel
 
 /** Per-superstep, per-host fetch metrics row (north rule: per-partition
   * lineage + fetch metrics; replaces the reference's event emitter
-  * counters, src/emitter.js + worker.js:137-142).
+  * counters, src/emitter.js + worker.js:137-142). Derived at read time by
+  * aggregating the per-fetch log — the engine never spends superstep wall
+  * time on observability aggregation.
   */
 case class StepMetrics(
     step: Int,
@@ -155,5 +157,4 @@ case class StepMetrics(
     deadLettered: Long,
     itemsCreated: Long,
     itemsUpdated: Long,
-    jobsSpawned: Long,
-    jobsDeduped: Long)
+    jobsSpawned: Long)

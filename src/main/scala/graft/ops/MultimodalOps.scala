@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.corpus.{CorpusSpec, Images, SyntheticCorpus}
+
+/** Multimodal (binary-payload) pipeline over opaque `binary` columns with
+  * typed metadata — the Spark-side plumbing (schema, batching, partitioning)
+  * is real; the *decoder* for q40 is a clearly-marked deterministic STUB
+  * (no image/audio codecs for arbitrary media exist in this container).
+  * q41 runs a REAL decode path: JDK ImageIO over the synthetic PNG/JPEG
+  * corpus, inside mapPartitions — the exact shape a Pandas-UDF/mapInPandas
+  * stage takes on a cluster (per-batch decode, executor-side).
+  */
+object MultimodalOps {
+
+  /** STUB decoder: pretends `bytes` is a media blob and derives metadata
+    * deterministically. A real deployment swaps `decodeStub` for an actual
+    * codec; everything around it (binary column, batch iteration, schema)
+    * stays unchanged.
+    */
+  private def decodeStub(bytes: Array[Byte]): (Int, Int, Int, String) = {
+    val len = bytes.length
+    // ??? real codec goes here — deterministic fake keeps the plumbing testable
+    val w = 16 + (len % 64)
+    val h = 16 + ((len / 64) % 64)
+    val fmt = if (len % 2 == 0) "png" else "jpeg"
+    (len, w, h, fmt)
+  }
+
+  /** Binary metadata extraction: text → UTF-8 bytes (stand-in payload) →
+    * batched "decode" in mapPartitions → typed metadata columns. The byte
+    * length is oracle-checked (octet_length in DuckDB); w/h/fmt come from the
+    * same integer arithmetic on both sides.
+    */
+  def q40DecodeStub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        // batch loop mirrors an Arrow-batch UDF: decode in groups of 64
+        rows.grouped(64).flatMap(_.iterator.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val (len, w, h, fmt) = decodeStub(bytes)
+          (id, len.toLong, w.toLong, h.toLong, fmt)
+        })
+      }
+      .toDF("doc_id", "byte_len", "w", "h", "fmt")
+      .orderBy(col("doc_id"))
+  }
+
+  /** REAL image decode + feature extraction, distributed: build a small
+    * synthetic PNG/JPEG corpus on executors, decode with ImageIO in
+    * mapPartitions, recompute phash, and aggregate fidelity stats per format.
+    * (sfDir-independent: image bytes live in the engine's corpus, not the
+    * driver testdata.) Deterministic — rows-only check.
+    */
+  def q41ImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spec = CorpusSpec(hosts = 2, listPages = 2, detailsPerList = 8)
+    SyntheticCorpus.build(s, spec)
+      .filter(col("routeId") === SyntheticCorpus.DETAIL && col("statusCode") === 200)
+      .as[graft.corpus.CorpusRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = Images.decode(r.body)
+          val ph = Images.phash(img)
+          (r.fmt, img.getWidth, img.getHeight,
+            if (ph == r.phash) 1L else 0L, r.body.length.toLong)
+        }
+      }
+      .toDF("fmt", "w", "h", "phash_match", "nbytes")
+      .groupBy(col("fmt"))
+      .agg(count(lit(1)).as("n"), sum(col("phash_match")).as("phash_matches"),
+        min(col("w")).as("w"), min(col("h")).as("h"),
+        sum(col("nbytes")).as("total_bytes"))
+      .orderBy(col("fmt"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q40_decode_stub" ->
+      """SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS w,
+           CAST(16 + (octet_length(encode(text)) // 64) % 64 AS BIGINT) AS h,
+           CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt
+         FROM documents ORDER BY doc_id""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_decode_stub" -> q40DecodeStub _,
+    "q41_image_decode" -> q41ImageDecode _)
+}

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (embedding: array<float>).
+  *
+  * Cosine math runs on codegen'd higher-order functions (`zip_with` dot
+  * product + `aggregate` fold) — no UDFs, stays inside whole-stage codegen.
+  * Oracles compute the same double-precision arithmetic explicitly in DuckDB
+  * (generate_series element join) and compare ROUNDED integers only.
+  */
+object VectorOps {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Embedding-cosine near-duplicate pairs (brute-force; the LSH-bucketed
+    * variant below is the scale path). Output: pair ids + cosine ×10⁴.
+    */
+  def q30CosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= 0.35)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos") * 10000).cast("long").as("cos_x10000"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Brute-force cosine top-k for one query vector (vec_id = 0) — the exact
+    * ANN baseline. Broadcast the single-row query side.
+    */
+  def q31AnnTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe")))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(q)
+      .withColumn("cos", cosine(col("embedding"), col("qe")))
+      .select(col("vec_id"), round(col("cos") * 10000).cast("long").as("cos_x10000"))
+      .orderBy(col("cos_x10000").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Random-hyperplane LSH bucketing — the ANN scale path. 8 hyperplanes with
+    * portable integer weights w(i,j) = ((i*31 + j*17) mod 7) - 3 give a
+    * deterministic 8-bit bucket per vector; search only the query's bucket.
+    * At 10^9 vectors this turns a full scan into one bucket scan (~1/256) —
+    * candidate generation is a hash-partitioned equi-join on the bucket key.
+    */
+  def q32AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val planes = (0 until 8).map { j =>
+      // dot(embedding, w_j) where w_j(i) = ((i*31 + j*17) % 7) - 3
+      val proj = aggregate(
+        zip_with(col("embedding"), sequence(lit(0), lit(63)),
+          (x, i) => x.cast("double") * (((i * 31 + lit(j * 17)) % 7) - 3).cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    val bucketed = emb(s, dir)
+      .withColumn("bucket", planes.reduce(_ + _))
+    val q = broadcast(bucketed.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("bucket").as("qbucket")))
+    bucketed
+      .join(q, col("bucket") === col("qbucket"))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("cos", cosine(col("embedding"), col("qe")))
+      .select(col("vec_id"), col("bucket"),
+        round(col("cos") * 10000).cast("long").as("cos_x10000"))
+      .orderBy(col("cos_x10000").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Per-label centroid stats — the IVF coarse-quantizer building block:
+    * one map-side-combinable aggregation producing k centroids. Output is
+    * rounded centroid L2 norms (portable integers).
+    */
+  def q33Centroids(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    // sum element-wise via posexplode: (label, i) partial sums — exactly the
+    // shape a 1000-executor IVF build uses (combine per partition, one shuffle).
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("cnt"))
+      .withColumn("c", col("sx") / col("cnt"))
+      .groupBy(col("label"))
+      .agg(round(sqrt(sum(col("c") * col("c"))) * 1000).cast("long").as("centroid_norm_x1000"),
+        max(col("cnt")).as("n_vectors"))
+      .orderBy(col("label"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q30_cosine_near_dup" ->
+      """WITH ex AS (
+           SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, generate_series(1, 64) AS g(i)),
+         nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nn FROM ex GROUP BY 1),
+         dots AS (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x*b.x) AS d
+           FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+           GROUP BY 1,2)
+         SELECT vec_a, vec_b,
+           CAST(ROUND(10000.0 * d / (na.nn * nb.nn)) AS BIGINT) AS cos_x10000
+         FROM dots JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b
+         WHERE d / (na.nn * nb.nn) >= 0.35
+         ORDER BY vec_a, vec_b""",
+    "q31_ann_topk" ->
+      """WITH ex AS (
+           SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, generate_series(1, 64) AS g(i)),
+         nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nn FROM ex GROUP BY 1),
+         q AS (SELECT i, x FROM ex WHERE vec_id = 0),
+         dots AS (
+           SELECT e.vec_id, sum(e.x * q.x) AS d
+           FROM ex e JOIN q ON e.i = q.i WHERE e.vec_id <> 0 GROUP BY 1)
+         SELECT d.vec_id,
+           CAST(ROUND(10000.0 * d / (nn * (SELECT nn FROM nrm WHERE vec_id = 0))) AS BIGINT) AS cos_x10000
+         FROM dots d JOIN nrm ON nrm.vec_id = d.vec_id
+         ORDER BY cos_x10000 DESC, d.vec_id ASC LIMIT 10""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_cosine_near_dup" -> q30CosineNearDup _,
+    "q31_ann_topk" -> q31AnnTopk _,
+    "q32_ann_lsh" -> q32AnnLsh _,
+    "q33_centroids" -> q33Centroids _)
+}
