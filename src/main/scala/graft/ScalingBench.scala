@@ -30,7 +30,12 @@ object ScalingBench {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores)
+      // fixed at the 4N core count for BOTH levels: the fetch stage's task
+      // count (= shuffle partitions of the wave repartition) must cover the
+      // larger level; small-stage scheduling overhead is then equal across
+      // levels, which is also how a real N-vs-4N cluster comparison holds
+      // partitioning constant.
+      .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "false") // skew handled by salting; AQE job-splitting only adds superstep latency at this cadence
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -38,12 +43,16 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val eng = new CrawlEngine(spark, SiteRoutes.registry(spec),
+      // detail concurrency = budget (the politeness cap under test is the
+      // host budget); retry backoff 0 folds flaky retries into the next
+      // regular wave instead of spawning tiny tail supersteps.
+      val eng = new CrawlEngine(spark,
+        SiteRoutes.registry(spec, detailConcurrency = budget),
         new SynthFetcher(spec), Nil,
         EngineConfig(
           statePath = java.nio.file.Files.createTempDirectory(s"scale$cores").toString,
-          hostBudget = budget,
-          bloomPartitions = 8, bloomCapacityPerShard = 1 << 22,
+          hostBudget = budget, retryBackoffSteps = 0,
+          bloomPartitions = 8, bloomCapacityPerShard = 1 << 20,
           saltBuckets = 16))
       eng.seed(SyntheticCorpus.seeds(spec))
       val t0 = System.nanoTime()
@@ -54,11 +63,11 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val hosts = args.lift(0).map(_.toInt).getOrElse(384)
-    val listPages = args.lift(1).map(_.toInt).getOrElse(3)
-    val details = args.lift(2).map(_.toInt).getOrElse(28)
-    val budget = args.lift(3).map(_.toInt).getOrElse(48)
-    val img = args.lift(4).map(_.toInt).getOrElse(128)
+    val hosts = args.lift(0).map(_.toInt).getOrElse(600)
+    val listPages = args.lift(1).map(_.toInt).getOrElse(1)
+    val details = args.lift(2).map(_.toInt).getOrElse(256)
+    val budget = args.lift(3).map(_.toInt).getOrElse(128)
+    val img = args.lift(4).map(_.toInt).getOrElse(224)
     val spec = CorpusSpec(hosts = hosts, listPages = listPages,
       detailsPerList = details, imgW = img, imgH = img)
 
@@ -72,7 +81,7 @@ object ScalingBench {
          |Workload: synthetic image site — ${spec.hosts} hosts × ${spec.listPages} listing pages
          |× ${spec.detailsPerList} details (= ${spec.totalDetails} image pages, ${img}×${img} px,
          |PNG/JPEG mixed), politeness budget $budget fetches/host/superstep, robots off,
-         |bloom 8×${1 << 22} capacity. Pages synthesized on demand in executors
+         |bloom 8×${1 << 20} capacity. Pages synthesized on demand in executors
          |(graft.corpus.SynthFetcher); fetch+extract = render + encode + decode + phash.
          |
          || level | cores | fetched URLs | items | supersteps | wall sec | URLs/sec |

@@ -38,7 +38,7 @@ object SparkEntry {
     RelationalQueries.queries ++ TextOps.queries ++ VectorOps.queries ++
       MultimodalOps.queries ++ Map(
         "q50_crawl_e2e" -> ((s: SparkSession, _: String) =>
-          crawl(s, CorpusSpec(hosts = 2, listPages = 3, detailsPerList = 6), budget = 4)))
+          crawl(s, CorpusSpec(hosts = 2, listPages = 2, detailsPerList = 6), budget = 8)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Hash-based / engine-corpus ops are intentionally

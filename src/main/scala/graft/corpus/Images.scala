@@ -27,9 +27,16 @@ object Images {
     // synthetic gradients; keeping chroma energy low holds worst-case
     // round-trip PSNR ≈ 46 dB at q=0.95 (measured), vs ~37 dB for
     // independent saturated channels.
-    val la = rnd.nextDouble() * 1.2 + 0.2
-    val lb = rnd.nextDouble() * 1.2 + 0.2
-    val lc = rnd.nextDouble() * math.Pi * 2 + jitter
+    // Luminance = a 6-component sinusoid mixture (frequencies up to ~4
+    // cycles). One lone sinusoid gave images so perceptually alike that DCT
+    // pHashes of unrelated images collided (measured hamming 0); spreading
+    // energy across several frequencies yields diverse, stable spectra while
+    // staying low-frequency enough for the 40 dB JPEG gate.
+    val K = 6
+    val comps = Array.fill(K)(
+      (rnd.nextDouble() * 3.6 + 0.4, rnd.nextDouble() * 3.6 + 0.4,
+        rnd.nextDouble() * math.Pi * 2 + jitter,
+        rnd.nextDouble() * 0.10 + 0.04))
     val tint = Array.fill(3)(
       (rnd.nextDouble() * 0.8 + 0.2, rnd.nextDouble() * 0.8 + 0.2,
         rnd.nextDouble() * math.Pi * 2 + jitter))
@@ -39,10 +46,16 @@ object Images {
       while (x < w) {
         val fx = x.toDouble / w
         val fy = y.toDouble / h
-        val lum = 0.5 + 0.38 * math.sin(2 * math.Pi * (la * fx + lb * fy) + lc)
+        var lum = 0.5
+        var k = 0
+        while (k < K) {
+          val (a, b, c, amp) = comps(k)
+          lum += amp * math.sin(2 * math.Pi * (a * fx + b * fy) + c)
+          k += 1
+        }
         def ch(i: Int): Int = {
           val (a, b, c) = tint(i)
-          val t = 0.08 * math.sin(2 * math.Pi * (a * fx + b * fy) + c)
+          val t = 0.06 * math.sin(2 * math.Pi * (a * fx + b * fy) + c)
           val v = math.max(0.0, math.min(1.0, lum + t))
           (v * 255.0).toInt & 0xFF
         }
@@ -103,38 +116,90 @@ object Images {
     else 10.0 * math.log10(255.0 * 255.0 / (se / n))
   }
 
-  /** 64-bit average-hash: area-average the grayscale image to 8×8, threshold
-    * at the mean. Robust to re-encoding (JPEG round-trip flips ≤ a few bits);
-    * near-dup suppression joins on 16-bit bands of this value and filters on
-    * `bit_count(xor) ≤ t` (see [[graft.items.Items]]).
+  /** 64-bit DCT perceptual hash (classic pHash shape): area-average the
+    * grayscale image to 32×32, take a separable 2-D DCT-II, keep the 65
+    * lowest-frequency coefficients minus DC, and threshold the first 64 at
+    * their median. Chosen over average-hash deliberately: aHash over smooth
+    * synthetic gradients collapses to a handful of sign patterns (measured:
+    * unrelated images within hamming 5-6, and LSH bands so hot that the
+    * candidate join exploded quadratically); the DCT spectrum keeps ~32 bits
+    * of entropy on the same corpus. Robust to JPEG re-encode (≤ a few bits).
+    * Near-dup suppression joins on 8-bit bands of this value and verifies
+    * with `bit_count(xor) ≤ t` (see [[graft.items.Items]]).
     */
   def phash(img: BufferedImage): Long = {
-    val gw = 8; val gh = 8
-    val acc = new Array[Double](gw * gh)
-    val cnt = new Array[Long](gw * gh)
+    val N = 32
+    // grayscale area-average to N×N
+    val acc = new Array[Double](N * N)
+    val cnt = new Array[Long](N * N)
     val w = img.getWidth; val h = img.getHeight
     var y = 0
     while (y < h) {
-      val gy = y * gh / h
+      val gy = y * N / h
       var x = 0
       while (x < w) {
-        val gx = x * gw / w
+        val gx = x * N / w
         val p = img.getRGB(x, y)
         val gray = 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) + 0.114 * (p & 0xFF)
-        val i = gy * gw + gx
+        val i = gy * N + gx
         acc(i) += gray; cnt(i) += 1
         x += 1
       }
       y += 1
     }
-    var mean = 0.0
     var i = 0
-    while (i < 64) { acc(i) /= math.max(cnt(i), 1L); mean += acc(i); i += 1 }
-    mean /= 64.0
+    while (i < N * N) { acc(i) /= math.max(cnt(i), 1L); i += 1 }
+    // separable DCT-II: rows then columns (cos tables precomputed)
+    val c = dctTable
+    val tmp = new Array[Double](N * N)
+    var u = 0
+    while (u < N) {
+      var vv = 0
+      while (vv < N) {
+        var s0 = 0.0
+        var k = 0
+        while (k < N) { s0 += acc(u * N + k) * c(vv)(k); k += 1 }
+        tmp(u * N + vv) = s0
+        vv += 1
+      }
+      u += 1
+    }
+    val dct = new Array[Double](N * N)
+    var v2 = 0
+    while (v2 < N) {
+      var u2 = 0
+      while (u2 < N) {
+        var s0 = 0.0
+        var k = 0
+        while (k < N) { s0 += tmp(k * N + v2) * c(u2)(k); k += 1 }
+        dct(u2 * N + v2) = s0
+        u2 += 1
+      }
+      v2 += 1
+    }
+    // 65 lowest-frequency coeffs in zigzag-ish row-major 9×8 block minus DC
+    val coeffs = new Array[Double](64)
+    var n = 0
+    var uu = 0
+    while (uu < 9 && n < 64) {
+      var vv = 0
+      while (vv < 8 && n < 64) {
+        if (!(uu == 0 && vv == 0)) { coeffs(n) = dct(uu * N + vv); n += 1 }
+        vv += 1
+      }
+      uu += 1
+    }
+    val sorted = coeffs.sorted
+    val median = (sorted(31) + sorted(32)) / 2.0
     var bits = 0L
     i = 0
-    while (i < 64) { if (acc(i) >= mean) bits |= (1L << i); i += 1 }
+    while (i < 64) { if (coeffs(i) > median) bits |= (1L << i); i += 1 }
     bits
+  }
+
+  private lazy val dctTable: Array[Array[Double]] = {
+    val N = 32
+    Array.tabulate(N, N)((f, k) => math.cos(math.Pi / N * (k + 0.5) * f))
   }
 
   def phashOfBytes(bytes: Array[Byte]): Long = phash(decode(bytes))

@@ -18,7 +18,7 @@ object SiteRoutes {
     * route, test/mocks/route.js:3-13); priority 60 > detail's 50 so listings
     * drain first — deterministic, oracle-replicated.
     */
-  def listing(spec: CorpusSpec): RouteSpec = RouteSpec(
+  def listing(spec: CorpusSpec, concurrency: Int = 1): RouteSpec = RouteSpec(
     key = SyntheticCorpus.LISTING,
     urlTemplate = q => s"http://${q("host")}/list?p=1",
     paginate = (url, page) => {
@@ -41,14 +41,14 @@ object SiteRoutes {
     },
     onError = (status, _) =>
       if (status >= 500) ErrorAction.Retry else ErrorAction.Stop,
-    concurrency = 1,
+    concurrency = concurrency,
     priority = 60)
 
   /** detail: image page → one ImageItem. Caption arrives in page.meta (the
     * synthetic stand-in for surrounding HTML); phash recomputed from the
     * fetched bytes so fidelity is checked against what actually landed.
     */
-  def detail(spec: CorpusSpec): RouteSpec = RouteSpec(
+  def detail(spec: CorpusSpec, concurrency: Int = 4): RouteSpec = RouteSpec(
     key = SyntheticCorpus.DETAIL,
     urlTemplate = q => q("url"),
     scraper = page => {
@@ -77,9 +77,11 @@ object SiteRoutes {
     },
     onError = (status, _) =>
       if (status >= 500) ErrorAction.Retry else ErrorAction.Stop,
-    concurrency = 4,
+    concurrency = concurrency,
     priority = 50)
 
-  def registry(spec: CorpusSpec): Map[String, RouteSpec] =
-    Seq(listing(spec), detail(spec)).map(r => r.key -> r).toMap
+  def registry(spec: CorpusSpec, listingConcurrency: Int = 1,
+      detailConcurrency: Int = 4): Map[String, RouteSpec] =
+    Seq(listing(spec, listingConcurrency), detail(spec, detailConcurrency))
+      .map(r => r.key -> r).toMap
 }

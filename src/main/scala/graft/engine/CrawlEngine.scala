@@ -39,7 +39,7 @@ case class EngineConfig(
     maxSteps: Int = 10000,
     disabledRoutes: Set[String] = Set.empty,
     /** phash hamming threshold for near-dup suppression; -1 disables. */
-    phashThreshold: Int = 3,
+    phashThreshold: Int = 6,
     /** extra supersteps of backoff before retrying a 5xx (reference: fixed
       * 3500 ms vs 1 s poll ≈ a few polls, spider.js:248). */
     retryBackoffSteps: Int = 1,
@@ -447,7 +447,11 @@ final class CrawlEngine(
       col("createdCnt").as("itemsCreated"), col("updatedCnt").as("itemsUpdated"))
 
     // -- append-only writes (invisible until the snapshot commit below) ---
-    delta.coalesce(8).write.mode("overwrite").parquet(s"$deltaDir/step=$s")
+    // full write parallelism — item deltas carry the image bytes, and a
+    // capped coalesce made this write a fixed serial cost that broke N-vs-4N
+    // scaling (measured). Small steps produce small files; compaction is a
+    // maintenance job, not a superstep cost.
+    delta.write.mode("overwrite").parquet(s"$deltaDir/step=$s")
     stepFetchLog.drop("step").coalesce(1).write.mode("overwrite")
       .parquet(s"${logDir("fetchlog")}/step=$s")
 

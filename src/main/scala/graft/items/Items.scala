@@ -79,7 +79,8 @@ object Items {
   def suppressNearDups(
       incoming: Dataset[ImageItem],
       existing: DataFrame, // needs only (key, phash) — column-pruned scan
-      t: Int = 3): Dataset[ImageItem] = {
+      t: Int = 6,
+      hotBucketCap: Int = 256): Dataset[ImageItem] = {
     val spark = incoming.sparkSession
     import spark.implicits._
 
@@ -93,7 +94,17 @@ object Items {
     // incoming (one wave's items) is small vs existing (all landed items):
     // broadcast the incoming bands so the existing side is scanned narrowly,
     // never shuffled — at 10^9 landed items this join stays map-side.
-    val inc = broadcast(bandedCols(incoming.toDF(), "inc"))
+    // Hot-bucket guard: a band value carried by more than `hotBucketCap`
+    // incoming rows would make candidate pairs quadratic (the classic LSH
+    // hot-bucket failure); such values are skipped — mass-identical payloads
+    // are instead collapsed by the exact-duplicate path (equality on the
+    // full 64-bit phash), which stays linear.
+    val incAll = bandedCols(incoming.toDF(), "inc")
+    val hotVals = incAll.groupBy(col("bandIdx"), col("bandVal"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > hotBucketCap)
+      .select(col("bandIdx"), col("bandVal"))
+    val inc = broadcast(incAll.join(broadcast(hotVals), Seq("bandIdx", "bandVal"),
+      "left_anti"))
     val oldB = bandedCols(existing.select(col("key"), col("phash")), "old")
 
     val vsExisting = inc.join(oldB, Seq("bandIdx", "bandVal"))

@@ -35,7 +35,7 @@ class ImagesSpec extends AnyFunSuite {
     }
   }
 
-  test("planted near-dups land within hamming 3; threshold separates planted pairs") {
+  test("planted near-dups land within hamming 6; threshold separates planted pairs") {
     val spec = CorpusSpec()
     // id % 7 == 3 renders id-1 with jitter
     val dupIds = (0L until spec.totalDetails)
@@ -45,12 +45,12 @@ class ImagesSpec extends AnyFunSuite {
       val a = SyntheticCorpus.detailRow(spec, id)
       val b = SyntheticCorpus.detailRow(spec, id - 1)
       val d = Images.hamming(a.phash, b.phash)
-      assert(d <= 3, s"near-dup pair ($id,${id - 1}) hamming=$d")
+      assert(d <= 6, s"near-dup pair ($id,${id - 1}) hamming=$d")
     }
     val far = Images.hamming(
       Images.phash(Images.synth(100, 48, 48)),
       Images.phash(Images.synth(200, 48, 48)))
-    assert(far > 3, s"unrelated pair too close: $far")
+    assert(far > 6, s"unrelated pair too close: $far")
   }
 
   test("corpus rows: listing JSON shape and detail payload") {

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.frontier.Politeness
+import graft.model.CrawlJob
+import graft.ops.RelationalQueries
+
+/** Physical-plan shape assertions — the scale properties that make these
+  * operators survive a 100× data increase, pinned as tests so a regression
+  * in plan quality fails CI, not a cluster run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("small-dim lookup joins broadcast (no shuffle of the fact side)") {
+    val p = planOf(RelationalQueries.q06BroadcastLookup(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("star join broadcasts both dimensions") {
+    val p = planOf(RelationalQueries.q18StarJoin(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
+  }
+
+  test("filters reach the parquet scan (predicate pushdown)") {
+    val p = planOf(RelationalQueries.q03EligibilityFilter(spark, dir))
+    // plan text truncates filter lists at 100 chars — match the prefix
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus)"), p.take(1200))
+  }
+
+  test("projection prunes the scan (ReadSchema carries only used columns)") {
+    val p = planOf(RelationalQueries.q01StatsAgg(spark, dir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_quantity") && !readSchema.contains("l_shipdate"),
+      readSchema)
+  }
+
+  test("aggregations combine map-side (partial HashAggregate before exchange)") {
+    val p = planOf(RelationalQueries.q01StatsAgg(spark, dir))
+    assert(p.contains("HashAggregate") && p.contains("Exchange"), p.take(800))
+    // partial agg appears below the exchange: two HashAggregate levels
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+  }
+
+  test("politeness wave costs exactly two exchanges (salted rank + host pass)") {
+    import spark.implicits._
+    val frontier = spark.createDataset(
+      (0L until 100L).map(i => CrawlJob(i, s"http://h${i % 5}.test/img/$i",
+        s"h${i % 5}.test", "detail")))
+    val wave = Politeness.wave(frontier, 0, 2, Map("detail" -> -1))
+    val p = wave.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"politeness grew a shuffle: $exchanges exchanges\n${p.take(1200)}")
+  }
+
+  test("whole-stage codegen covers the aggregation pipeline") {
+    // AQE prints codegen spans only in the final (executed) plan
+    val df = RelationalQueries.q01StatsAgg(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd operators print with a "*(n) " stage prefix
+    assert(p.contains("WholeStageCodegen") || "\\*\\(\\d+\\) ".r.findFirstIn(p).isDefined,
+      p.take(2000))
+  }
+}
