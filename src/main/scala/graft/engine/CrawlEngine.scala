@@ -49,6 +49,14 @@ case class EngineConfig(
     saltBuckets: Int = 16,
     /** snapshots older than latest-N are expired after each commit. */
     retainSnapshots: Int = 4,
+    /** Keep AQE on inside supersteps. Default off: AQE materializes every
+      * query stage as its own job, which at superstep cadence multiplies
+      * scheduler+planning overhead ~2× (measured); skew is already handled
+      * structurally by salting (Politeness phase 1). Set true on a real
+      * cluster with multi-minute supersteps where AQE skew-join splitting
+      * pays for itself.
+      */
+    aqeInSteps: Boolean = false,
     /** probe the seen-set via broadcast sketches while total size fits. */
     bloomBroadcastMaxBytes: Long = 256L << 20)
 
@@ -82,6 +90,29 @@ final class CrawlEngine(
   import spark.implicits._
 
   private val store = new SnapshotStore(cfg.statePath)
+
+  /** Driver-side cache of the bloom shards (version → shards), valid only on
+    * the broadcast-probe path. Skips the per-superstep parquet read+collect:
+    * the shards written at step s are exactly the ones probed at s+1. Resume
+    * in a fresh engine simply misses the cache and reads the snapshot.
+    */
+  private var shardCache: Option[(Int, Array[BloomShard])] = None
+
+  /** Superstep-scoped session conf (restored after): see
+    * [[EngineConfig.aqeInSteps]]. The fetch stage's parallelism is pinned by
+    * an explicit repartition count (Politeness.wave) either way.
+    */
+  private def withEngineConf[T](body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, cfg.aqeInSteps.toString)
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private val routesBc = spark.sparkContext.broadcast(routes)
   private val fetcherBc = spark.sparkContext.broadcast(fetcher)
   private val routeCaps: Map[String, Int] = routes.map { case (k, r) => k -> r.concurrency }
@@ -190,7 +221,7 @@ final class CrawlEngine(
     * `nest.queue(...)` (reference: src/nest.js:86-97): canonicalize, dedup,
     * robots-filter, land as the v0 frontier.
     */
-  def seed(seeds: Seq[(String, String)]): Unit = {
+  def seed(seeds: Seq[(String, String)]): Unit = withEngineConf {
     val seedJobs = seeds.toDF("routeId", "rawUrl")
       .withColumn("url", graft.canon.CanonUdfs.canonUdf(col("rawUrl")))
       .withColumn("host", graft.canon.CanonUdfs.hostUdf(col("url")))
@@ -228,7 +259,7 @@ final class CrawlEngine(
     * eligible work remains — the analogue of the worker's empty-poll exit
     * (reference: src/worker.js:108-110).
     */
-  def step(): Boolean = {
+  def step(): Boolean = withEngineConf {
     val v = currentVersion.getOrElse(
       throw new IllegalStateException("seed() first — no snapshot"))
     val committed = stepOf(v)
@@ -243,7 +274,14 @@ final class CrawlEngine(
     var wave = Politeness.wave(front, s, cfg.hostBudget, routeCaps,
         cfg.disabledRoutes, cfg.saltBuckets)
       .localCheckpoint(true)
-    var waveN = wave.count()
+    // One collect replaces the count: the wave's (key, host) pairs drive the
+    // frontier rewrite filter and the robots crawl-delay bump driver-side.
+    // Wave size is politeness-bounded (hosts × budget) — the exact envelope
+    // the previous broadcast anti-joins shipped to every executor anyway;
+    // driver-resident sets cost the same memory and ~10 fewer Spark jobs
+    // per superstep (each broadcast exchange materializes as its own job).
+    var waveMeta = wave.select(col("urlKey"), col("host")).as[(Long, String)].collect()
+    var waveN = waveMeta.length.toLong
     if (waveN == 0) {
       // Nothing eligible *now*, but retry-backoff / crawl-delay jobs may be
       // waiting on a future step — jump the clock to the earliest one (the
@@ -261,34 +299,53 @@ final class CrawlEngine(
       wave = Politeness.wave(front, s, cfg.hostBudget, routeCaps,
           cfg.disabledRoutes, cfg.saltBuckets)
         .localCheckpoint(true)
-      waveN = wave.count()
+      waveMeta = wave.select(col("urlKey"), col("host")).as[(Long, String)].collect()
+      waveN = waveMeta.length.toLong
       if (waveN == 0) { wave.unpersist(); return false }
     }
+    val stepNow = s
 
     // -- fetch+extract (narrow; wave is already salted-partitioned) ------
     val outcomes = FetchStage.run(wave, routesBc, fetcherBc)
       .localCheckpoint(true)
 
     // -- items path (append-only deltas; merge-on-read) ------------------
-    val prevDeltas = readItemDeltas(committed)
-      .select(col("key"), col("phash"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val landedRaw = outcomes.flatMap(o =>
-      o.items.map(it => Items.Landed(o.job.urlKey, it.copy(createdStep = s))))
-    val landed =
-      if (cfg.phashThreshold >= 0) {
-        val keep = Items.suppressNearDups(
-          landedRaw.map(_.item), prevDeltas, cfg.phashThreshold)
-          .select(col("key")).distinct()
-        landedRaw.join(broadcast(keep), landedRaw("item.key") === keep("key"), "left_semi")
-          .as[Items.Landed]
-      } else landedRaw
-    val (delta0, flags0) = Items.mergeDelta(prevDeltas.select(col("key")), landed)
-    val delta = delta0.localCheckpoint(true)
-    val flags = flags0.localCheckpoint(true)
-    val flagAgg = flags.groupBy(col("srcJob"))
-      .agg(sum(when(col("wasNew"), 1L).otherwise(0L)).as("createdCnt"),
-           sum(when(col("wasNew"), lit(0L)).otherwise(1L)).as("updatedCnt"))
+    // Incoming items per superstep are politeness-bounded, so their
+    // (srcJob, key, image_id, phash) summaries live driver-side (bytes stay
+    // distributed); created-vs-updated flags and phash near-dup suppression
+    // cost ONE distributed pass over the existing deltas (the unbounded
+    // side) instead of a join cascade. See Items.suppressAndSeenSets.
+    val itemTups = outcomes.flatMap(o =>
+      o.items.map(it =>
+        (o.job.urlKey, it.key, Option(it.image_id).getOrElse(""), it.phash)))
+      .collect()
+    val existingDf =
+      if (new java.io.File(deltaDir).isDirectory && itemTups.nonEmpty)
+        Some(readItemDeltas(committed).select(col("key"), col("phash")).toDF())
+      else None
+    val (suppressedKeys, existedKeys) = Items.suppressAndSeenSets(
+      itemTups, existingDf, cfg.phashThreshold)
+    val keepTups = itemTups.filterNot { case (_, k, _, _) => suppressedKeys(k) }
+    // one winner per key — lowest (srcJob, image_id), the same deterministic
+    // pick the previous per-key ranking window made
+    val winners: Map[String, (Long, String)] = keepTups.groupBy(_._2).map {
+      case (k, rows) => k -> rows.iterator.map(r => (r._1, r._3)).min
+    }
+    val flagBySrc: Map[Long, (Long, Long)] = winners.groupBy(_._2._1).map {
+      case (src, ws) =>
+        val created = ws.count { case (k, _) => !existedKeys(k) }
+        src -> (created.toLong, (ws.size - created).toLong)
+    }
+    val winnersBc = spark.sparkContext.broadcast(winners)
+    val delta = outcomes.flatMap { o =>
+      val w = winnersBc.value
+      val emitted = scala.collection.mutable.Set.empty[String]
+      o.items.iterator
+        .filter(it => w.get(it.key)
+          .contains((o.job.urlKey, Option(it.image_id).getOrElse(""))) &&
+          emitted.add(it.key))
+        .map(_.copy(createdStep = stepNow))
+    }
 
     // -- spawned-jobs path ----------------------------------------------
     val spawnedRaw = outcomes.flatMap { o =>
@@ -311,160 +368,180 @@ final class CrawlEngine(
     val allowedJobs = Robots.allowed(canonical, robotsRules)
       .localCheckpoint(true)
 
-    val bloom = readBloom(v)
     val sketchBytes = cfg.bloomPartitions *
       BloomSeen.estimatedShardBytes(cfg.bloomCapacityPerShard, cfg.bloomFpp)
     // While total sketch size fits the broadcast budget (i.e. until the
     // frontier reaches billions of keys) the shards live driver-side:
-    // zero-shuffle broadcast probe + driver-merged insert. Beyond that the
-    // cogroup paths take over — same semantics, fully distributed.
+    // driver probe over collected candidate keys + driver-merged insert.
+    // Beyond that the cogroup paths take over — same semantics, fully
+    // distributed.
     val shardsLocal: Option[Array[BloomShard]] =
-      if (sketchBytes <= cfg.bloomBroadcastMaxBytes) Some(readBloom(v).collect())
+      if (sketchBytes <= cfg.bloomBroadcastMaxBytes)
+        Some(shardCache.collect { case (`v`, sh) => sh }
+          .getOrElse(readBloom(v).collect()))
       else None
-    val probed = (if (shardsLocal.isDefined) {
-      val shardMap = shardsLocal.get.map(sh => sh.pid -> sh.sketch).toMap
-      BloomSeen.probeBroadcast(spark.sparkContext.broadcast(shardMap),
-        allowedJobs.select(col("urlKey")).as[Long], cfg.bloomPartitions)
-    } else {
-      BloomSeen.probe(bloom, allowedJobs.select(col("urlKey")).as[Long],
-        cfg.bloomPartitions)
-    }).toDF("urlKey", "might").persist(StorageLevel.MEMORY_AND_DISK)
-    val definitelyNew = allowedJobs.join(
-      broadcast(probed.filter(!col("might")).drop("might")), Seq("urlKey"), "left_semi")
-    val maybeSeen = allowedJobs.join(
-      broadcast(probed.filter(col("might")).drop("might")), Seq("urlKey"), "left_semi")
-    // Exact check only on the bloom-positive sliver (true hits + fpp·new).
-    // Flipped to two broadcast joins so the frontier is only column-scanned,
-    // never shuffled: confirm which sliver keys exist, then anti-join the
-    // sliver against that (small) confirmation set.
-    val seenConfirmed = front.select(col("urlKey"))
-      .join(broadcast(maybeSeen.select(col("urlKey"))), Seq("urlKey"), "left_semi")
-    val confirmedNew = maybeSeen.join(
-      broadcast(seenConfirmed), Seq("urlKey"), "left_anti")
     val prioByRoute = typedLit(routes.map { case (k, r) => k -> r.priority })
-    val fresh = definitelyNew.unionByName(confirmedNew)
+    def toJobs(df: DataFrame): Dataset[CrawlJob] = df
       .withColumn("priority", coalesce(element_at(prioByRoute, col("routeId")), lit(50)))
       .select(col("urlKey").as("_1"), col("url").as("_2"), col("host").as("_3"),
         col("routeId").as("_4"), col("priority").cast("int").as("_5"))
       .as[(Long, String, String, String, Int)]
       .map { case (k, u, h, r, p) =>
-        CrawlJob(k, u, h, r, priority = p, createdStep = s + 1, notBeforeStep = s + 1)
+        CrawlJob(k, u, h, r, priority = p,
+          createdStep = stepNow + 1, notBeforeStep = stepNow + 1)
       }
-      .localCheckpoint(true)
+    // (fresh rows, their keys when driver-resident)
+    val (fresh: Dataset[CrawlJob], freshKeysLocal: Option[Array[Long]]) =
+      shardsLocal match {
+        case Some(shards) =>
+          // Candidate keys after dedup are ≤ what the previous plan shipped
+          // via broadcast(probed) — collecting them is the same envelope,
+          // minus four broadcast-exchange jobs per superstep.
+          val candKeys = allowedJobs.select(col("urlKey")).as[Long].collect()
+          val might = BloomSeen.probeLocal(shards, candKeys, cfg.bloomPartitions)
+          val posSet = candKeys.iterator.zip(might.iterator)
+            .collect { case (k, true) => k }.toSet
+          // Exact check only on the bloom-positive sliver (true hits +
+          // fpp·new): the frontier is column-scanned, never shuffled.
+          val confirmedSeen: Set[Long] =
+            if (posSet.isEmpty) Set.empty
+            else {
+              val posSorted = posSet.toArray.sorted
+              val posBc = spark.sparkContext.broadcast(posSorted)
+              val inPos = udf((k: Long) =>
+                java.util.Arrays.binarySearch(posBc.value, k) >= 0)
+              front.select(col("urlKey")).filter(inPos(col("urlKey")))
+                .as[Long].collect().toSet
+            }
+          val freshKeys = candKeys.filter(k => !posSet(k) || !confirmedSeen(k))
+          val freshSorted = freshKeys.sorted
+          val freshBc = spark.sparkContext.broadcast(freshSorted)
+          val isFresh = udf((k: Long) =>
+            java.util.Arrays.binarySearch(freshBc.value, k) >= 0)
+          (toJobs(allowedJobs.filter(isFresh(col("urlKey")))), Some(freshKeys))
+        case None =>
+          val bloom = readBloom(v)
+          val probed = BloomSeen.probe(bloom,
+              allowedJobs.select(col("urlKey")).as[Long], cfg.bloomPartitions)
+            .toDF("urlKey", "might").persist(StorageLevel.MEMORY_AND_DISK)
+          val definitelyNew = allowedJobs.join(
+            broadcast(probed.filter(!col("might")).drop("might")),
+            Seq("urlKey"), "left_semi")
+          val maybeSeen = allowedJobs.join(
+            broadcast(probed.filter(col("might")).drop("might")),
+            Seq("urlKey"), "left_semi")
+          val seenConfirmed = front.select(col("urlKey"))
+            .join(broadcast(maybeSeen.select(col("urlKey"))), Seq("urlKey"), "left_semi")
+          val confirmedNew = maybeSeen.join(
+            broadcast(seenConfirmed), Seq("urlKey"), "left_anti")
+          val f = toJobs(definitelyNew.unionByName(confirmedNew)).localCheckpoint(true)
+          probed.unpersist()
+          (f, None)
+      }
 
     // -- job-state updates ----------------------------------------------
     // locals only in executor closures — capturing fields would serialize `this`
     val routesLocal = routesBc
     val backoffLocal = cfg.retryBackoffSteps
-    val outDf = outcomes.map(o => (o.job, o.status, o.action, o.hasNextPage,
-        o.newState, o.spawned.size))
-      .toDF("job", "status", "action", "hasNext", "newState", "spawnCount")
-    // One enriched relation feeds BOTH the frontier rewrite and the fetch
-    // log — joined once, persisted, consumed twice.
-    val enriched = outDf
-      .join(broadcast(flagAgg), outDf("job.urlKey") === flagAgg("srcJob"), "left")
-      .na.fill(0L, Seq("createdCnt", "updatedCnt"))
-      .localCheckpoint(true)
-    val updatedWave = enriched
-      .select(col("job").as("_1"), col("status").as("_2"), col("action").as("_3"),
-        col("hasNext").as("_4"), col("newState").as("_5"), col("spawnCount").as("_6"),
-        col("createdCnt").as("_7"), col("updatedCnt").as("_8"))
-      .as[(CrawlJob, Int, String, Boolean, Map[String, String], Int, Long, Long)]
-      .map { case (job, _, action, hasNext, newState, spawnCount, created, updated) =>
-        val tdel = routesLocal.value.get(job.routeId).map(_.transitionDelay).getOrElse(0)
-        val stats2 = job.stats.copy(
-          pages = job.stats.pages + (if (action == "ok") 1 else 0),
-          items = job.stats.items + created.toInt,
-          updated = job.stats.updated + updated.toInt,
-          spawned = job.stats.spawned + spawnCount)
-        val started = if (job.state.startedStep < 0) s else job.state.startedStep
-        action match {
-          case "ok" if hasNext =>
-            job.copy(stats = stats2,
-              notBeforeStep = s + 1 + tdel,
-              state = job.state.copy(currentPage = job.state.currentPage + 1,
-                startedStep = started,
-                data = job.state.data ++ newState))
-          case "ok" =>
-            job.copy(stats = stats2,
-              state = job.state.copy(finished = true, startedStep = started,
-                finishedStep = s, data = job.state.data ++ newState))
-          case "retry" =>
-            job.copy(errorCount = job.errorCount + 1,
-              notBeforeStep = s + 1 + backoffLocal,
-              stats = stats2,
-              state = job.state.copy(startedStep = started))
-          case _ => // stop or redirect: this job terminates
-            job.copy(stats = stats2,
-              state = job.state.copy(finished = true, startedStep = started,
-                finishedStep = s))
-        }
+    val flagBc = spark.sparkContext.broadcast(flagBySrc)
+    val updatedWave = outcomes.map { o =>
+      val (created, updated) = flagBc.value.getOrElse(o.job.urlKey, (0L, 0L))
+      val job = o.job
+      val tdel = routesLocal.value.get(job.routeId).map(_.transitionDelay).getOrElse(0)
+      val stats2 = job.stats.copy(
+        pages = job.stats.pages + (if (o.action == "ok") 1 else 0),
+        items = job.stats.items + created.toInt,
+        updated = job.stats.updated + updated.toInt,
+        spawned = job.stats.spawned + o.spawned.size)
+      val started = if (job.state.startedStep < 0) stepNow else job.state.startedStep
+      o.action match {
+        case "ok" if o.hasNextPage =>
+          job.copy(stats = stats2,
+            notBeforeStep = stepNow + 1 + tdel,
+            state = job.state.copy(currentPage = job.state.currentPage + 1,
+              startedStep = started,
+              data = job.state.data ++ o.newState))
+        case "ok" =>
+          job.copy(stats = stats2,
+            state = job.state.copy(finished = true, startedStep = started,
+              finishedStep = stepNow, data = job.state.data ++ o.newState))
+        case "retry" =>
+          job.copy(errorCount = job.errorCount + 1,
+            notBeforeStep = stepNow + 1 + backoffLocal,
+            stats = stats2,
+            state = job.state.copy(startedStep = started))
+        case _ => // stop or redirect: this job terminates
+          job.copy(stats = stats2,
+            state = job.state.copy(finished = true, startedStep = started,
+              finishedStep = stepNow))
       }
-
+    }
 
     // -- frontier rewrite + per-host crawl-delay bump --------------------
-    // wave is bounded (hosts × budget) → broadcast anti-join: the frontier
-    // is scanned, not shuffled — the superstep's frontier rewrite is narrow.
-    val waveKeys = wave.select(col("urlKey"))
-    val untouched = front.join(broadcast(waveKeys), Seq("urlKey"), "left_anti").as[CrawlJob]
+    // wave keys are driver-resident → the frontier is narrowly scanned and
+    // filtered, never shuffled or joined — the rewrite is one codegen'd pass.
+    val waveKeysBc = spark.sparkContext.broadcast(waveMeta.map(_._1).sorted)
+    val notInWave = udf((k: Long) =>
+      java.util.Arrays.binarySearch(waveKeysBc.value, k) < 0)
+    val untouched = front.filter(notInWave(col("urlKey"))).as[CrawlJob]
     val frontier2 = untouched.unionByName(updatedWave).unionByName(fresh)
-    val frontier3 =
-      if (hostDelay.isEmpty) frontier2
+    val frontier3 = {
+      // robots crawl-delay: bump hosts fetched this wave (driver-known set;
+      // the robots rules table is tiny relative to the frontier by design)
+      val touched = waveMeta.iterator.map(_._2).toSet
+      val hostNext: Map[String, Int] =
+        hostDelay.collect { case (h, d) if touched(h) => h -> (stepNow + d) }
+      if (hostNext.isEmpty) frontier2
       else {
-        val delayLit = typedLit(hostDelay)
-        val fetchedHosts = wave.groupBy(col("host")).agg(count(lit(1)).as("_n"))
-          .withColumn("_hostNext", lit(s) + element_at(delayLit, col("host")))
-          .filter(col("_hostNext").isNotNull)
-          .select(col("host"), col("_hostNext"))
+        val nextLit = typedLit(hostNext)
         frontier2.toDF()
-          .join(broadcast(fetchedHosts), Seq("host"), "left")
           .withColumn("notBeforeStep",
-            when(col("_hostNext").isNotNull && !col("state.finished"),
-              greatest(col("notBeforeStep"), col("_hostNext").cast("int")))
+            when(element_at(nextLit, col("host")).isNotNull && !col("state.finished"),
+              greatest(col("notBeforeStep"), element_at(nextLit, col("host"))))
             .otherwise(col("notBeforeStep")))
-          .drop("_hostNext")
           .as[CrawlJob]
       }
+    }
 
     // -- bloom update -----------------------------------------------------
-    val bloom2 = shardsLocal match {
-      case Some(shards) =>
-        val byPid = fresh.map(_.urlKey).collect()
-          .groupBy(k => BloomSeen.pidOf(k, cfg.bloomPartitions))
-        spark.createDataset(shards.map(sh =>
-          byPid.get(sh.pid).map(ks => BloomSeen.insertLocal(sh, ks)).getOrElse(sh)).toSeq)
-      case None =>
-        BloomSeen.insert(bloom, fresh.map(_.urlKey), cfg.bloomPartitions)
+    val bloom2 = (shardsLocal, freshKeysLocal) match {
+      case (Some(shards), Some(fk)) =>
+        val byPid = fk.groupBy(k => BloomSeen.pidOf(k, cfg.bloomPartitions))
+        val merged = shards.map(sh =>
+          byPid.get(sh.pid).map(ks => BloomSeen.insertLocal(sh, ks)).getOrElse(sh))
+        shardCache = Some((v + 1, merged))
+        spark.createDataset(merged.toSeq)
+      case _ =>
+        shardCache = None
+        BloomSeen.insert(readBloom(v), fresh.map(_.urlKey), cfg.bloomPartitions)
     }
 
     // -- fetch log (single observability write; see FetchLog scaladoc) ----
-    val stepFetchLog = enriched.select(
-      lit(s).as("step"), col("job.host").as("host"), col("job.urlKey").as("urlKey"),
-      col("job.url").as("url"), col("job.routeId").as("routeId"),
-      col("job.state.currentPage").as("page"), col("status"),
-      col("job.priority").as("priority"), col("job.createdStep").as("createdStep"),
-      col("action"), col("job.errorCount").as("errorCount"), col("spawnCount"),
-      col("createdCnt").as("itemsCreated"), col("updatedCnt").as("itemsUpdated"))
+    val stepFetchLog = outcomes.map { o =>
+      val (created, updated) = flagBc.value.getOrElse(o.job.urlKey, (0L, 0L))
+      FetchLog(stepNow, o.job.host, o.job.urlKey, o.job.url, o.job.routeId,
+        o.job.state.currentPage, o.status, o.job.priority, o.job.createdStep,
+        o.action, o.job.errorCount, o.spawned.size, created, updated)
+    }.toDF()
 
     // -- append-only writes (invisible until the snapshot commit below) ---
     // full write parallelism — item deltas carry the image bytes, and a
     // capped coalesce made this write a fixed serial cost that broke N-vs-4N
     // scaling (measured). Small steps produce small files; compaction is a
     // maintenance job, not a superstep cost.
-    delta.write.mode("overwrite").parquet(s"$deltaDir/step=$s")
+    delta.write.mode("overwrite").parquet(s"$deltaDir/step=$stepNow")
     stepFetchLog.drop("step").coalesce(1).write.mode("overwrite")
-      .parquet(s"${logDir("fetchlog")}/step=$s")
+      .parquet(s"${logDir("fetchlog")}/step=$stepNow")
 
     // -- commit: only resume-critical state is versioned ------------------
     store.commit(v + 1, SnapshotStore.manifestJson(
-      "version" -> (v + 1), "step" -> s, "fetched" -> waveN)) { dir =>
+      "version" -> (v + 1), "step" -> stepNow, "fetched" -> waveN)) { dir =>
       frontier3.write.parquet(s"$dir/frontier")
       bloom2.write.parquet(s"$dir/bloom")
     }
     store.expire(v + 1 - cfg.retainSnapshots + 1)
 
-    Seq(wave, outcomes, allowedJobs, fresh, prevDeltas, delta, flags, probed,
-        enriched).foreach(_.unpersist())
+    Seq(wave, outcomes, allowedJobs, fresh).foreach(_.unpersist())
     true
   }
 

@@ -77,6 +77,15 @@ object BloomSeen {
     }
   }
 
+  /** Driver-side probe over locally-held shards (small-frontier fast path):
+    * each shard is deserialized once; result is aligned with `keys`.
+    */
+  def probeLocal(shards: Array[BloomShard], keys: Array[Long],
+      partitions: Int): Array[Boolean] = {
+    val byPid = shards.map(sh => sh.pid -> deserialize(sh.sketch)).toMap
+    keys.map(k => byPid(pidOf(k, partitions)).mightContainLong(k))
+  }
+
   /** Driver-side single-shard insert (small-frontier fast path). */
   def insertLocal(shard: BloomShard, keys: Array[Long]): BloomShard = {
     val bf = deserialize(shard.sketch)

@@ -62,7 +62,10 @@ object Politeness {
     val caps = routeCaps // local: avoid capturing enclosing refs in closure
     val budget = hostBudget
     phase1
-      .repartition(col("host"))
+      // explicit partition count pins the downstream fetch stage's task
+      // count (= parallelism of the CPU-heavy fetch+extract) even when AQE
+      // size-based coalescing is active for the engine's small state ops.
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("host"))
       .sortWithinPartitions(Seq(col("host")) ++ orderCols: _*)
       .mapPartitions { it =>
         var curHost: String = null

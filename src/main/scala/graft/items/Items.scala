@@ -67,6 +67,89 @@ object Items {
       .as[ImageItem]
   }
 
+  /** Driver-resident variant of [[suppressNearDups]] + created-vs-updated
+    * key lookup, fused into ONE distributed pass over the existing items.
+    *
+    * The incoming side of a superstep is politeness-bounded (hosts × budget ×
+    * items/page) — the same envelope [[suppressNearDups]] already assumes
+    * when it broadcasts the incoming bands — so its banding tables live on
+    * the driver and ship via one broadcast; the existing-items side (the
+    * unbounded one) is scanned distributed, each row probing the banded map
+    * and the incoming-key set. Replicates [[suppressNearDups]] exactly:
+    * 8×8-bit LSH bands, hot-bucket guard on the incoming side, exact hamming
+    * verify, in-batch lower-key-wins.
+    *
+    * @param incoming (srcJob, key, image_id, phash) per incoming item row
+    * @param existing all prior delta rows, needs columns (key, phash)
+    * @return (suppressed incoming keys, incoming keys that already exist)
+    */
+  def suppressAndSeenSets(
+      incoming: Array[(Long, String, String, Long)],
+      existing: Option[DataFrame],
+      t: Int,
+      hotBucketCap: Int = 256): (Set[String], Set[String]) = {
+    if (incoming.isEmpty) return (Set.empty, Set.empty)
+
+    def band(ph: Long, b: Int): Int = ((ph >>> (b * 8)) & 255L).toInt
+    def bucket(b: Int, v: Int): Int = (b << 8) | v
+
+    // hot-bucket counts over ALL incoming band rows (duplicates included,
+    // matching bandedCols over the raw incoming frame)
+    val counts = new scala.collection.mutable.HashMap[Int, Int]()
+    if (t >= 0) for ((_, _, _, ph) <- incoming; b <- 0 until 8)
+      counts.updateWith(bucket(b, band(ph, b)))(c => Some(c.getOrElse(0) + 1))
+    val hot: Set[Int] = counts.collect { case (bk, c) if c > hotBucketCap => bk }.toSet
+
+    // probe side: per incoming row, its non-hot band buckets
+    val probe = new scala.collection.mutable.HashMap[Int, List[(String, Long)]]()
+    if (t >= 0) for ((_, k, _, ph) <- incoming; b <- 0 until 8) {
+      val bk = bucket(b, band(ph, b))
+      if (!hot(bk)) probe.updateWith(bk)(l => Some((k, ph) :: l.getOrElse(Nil)))
+    }
+
+    // in-batch: a probe-side row is suppressed by ANY lower-keyed incoming
+    // row sharing a band bucket within hamming t (incB2 side is unfiltered)
+    val inBatch = scala.collection.mutable.Set.empty[String]
+    if (t >= 0) for ((_, bKey, _, bPh) <- incoming; b <- 0 until 8) {
+      val bk = bucket(b, band(bPh, b))
+      for ((incKey, incPh) <- probe.getOrElse(bk, Nil))
+        if (bKey < incKey && java.lang.Long.bitCount(incPh ^ bPh) <= t)
+          inBatch += incKey
+    }
+
+    val incKeys: Set[String] = incoming.map(_._2).toSet
+    val (vsExisting, seenKeys) = existing match {
+      case None => (Set.empty[String], Set.empty[String])
+      case Some(ex) =>
+        val spark = ex.sparkSession
+        import spark.implicits._
+        val probeBc = spark.sparkContext.broadcast(probe.toMap)
+        val incKeysBc = spark.sparkContext.broadcast(incKeys)
+        val tL = t
+        val tagged = ex.select(col("key"), col("phash")).as[(String, Long)]
+          .mapPartitions { it =>
+            val pm = probeBc.value
+            val ik = incKeysBc.value
+            it.flatMap { case (oldKey, oldPh) =>
+              val dupHits =
+                if (tL < 0) Iterator.empty
+                else (0 until 8).iterator.flatMap { b =>
+                  pm.getOrElse((b << 8) | (((oldPh >>> (b * 8)) & 255L)).toInt, Nil)
+                    .iterator
+                    .collect { case (k, ph)
+                      if java.lang.Long.bitCount(ph ^ oldPh) <= tL => (false, k) }
+                }
+              val seenHit =
+                if (ik.contains(oldKey)) Iterator((true, oldKey)) else Iterator.empty
+              dupHits ++ seenHit
+            }
+          }.distinct().collect()
+        (tagged.collect { case (false, k) => k }.toSet,
+          tagged.collect { case (true, k) => k }.toSet)
+    }
+    ((inBatch.toSet ++ vsExisting), seenKeys)
+  }
+
   /** Drop incoming items that are perceptual near-duplicates (hamming ≤ t on
     * the 64-bit phash) of an existing item or of a lower-keyed incoming item.
     *
