@@ -17,11 +17,18 @@ object CanonUdfs {
   val hostUdf  = udf((u: String) => UrlCanon.host(u))
   val resolveUdf = udf((b: String, l: String) => UrlCanon.resolve(b, l))
 
-  def canon_url(c: Column): Column = canonUdf(c)
-  def url_host(c: Column): Column  = hostUdf(c)
+  // native-Expression forms — inline into whole-stage codegen (no ScalaUDF
+  // dispatch/boxing); see graft.functions.UrlExprs
+  private def expr(c: Column) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+  private def col(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+
+  def canon_url(c: Column): Column = col(graft.functions.UrlCanonExpr(expr(c)))
+  def url_host(c: Column): Column  = col(graft.functions.UrlHostExpr(expr(c)))
 
   /** xxhash64(canonical url), matching Spark's builtin on the same string. */
-  def url_key(c: Column): Column = xxhash64(canonUdf(c))
+  def url_key(c: Column): Column = xxhash64(canon_url(c))
 
   /** Driver/oracle-side equivalent of `xxhash64(lit(s))` (seed 42). */
   def urlKeyScala(canonical: String): Long = {
@@ -30,9 +37,14 @@ object CanonUdfs {
       .hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
   }
 
-  /** Register SQL-callable forms: canon_url(s), url_host(s). */
+  /** Register SQL-callable forms `canon_url(s)` / `url_host(s)`, bound to
+    * the native expressions (codegen'd). For registration at session build
+    * use `spark.sql.extensions=graft.functions.GraftExtensions` instead.
+    */
   def register(spark: SparkSession): Unit = {
-    spark.udf.register("canon_url", (u: String) => UrlCanon.canonicalize(u))
-    spark.udf.register("url_host", (u: String) => UrlCanon.host(u))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "canon_url", exprs => graft.functions.UrlCanonExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "url_host", exprs => graft.functions.UrlHostExpr(exprs.head), "scala_udf")
   }
 }

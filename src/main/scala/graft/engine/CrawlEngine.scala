@@ -223,8 +223,8 @@ final class CrawlEngine(
     */
   def seed(seeds: Seq[(String, String)]): Unit = withEngineConf {
     val seedJobs = seeds.toDF("routeId", "rawUrl")
-      .withColumn("url", graft.canon.CanonUdfs.canonUdf(col("rawUrl")))
-      .withColumn("host", graft.canon.CanonUdfs.hostUdf(col("url")))
+      .withColumn("url", graft.canon.CanonUdfs.canon_url(col("rawUrl")))
+      .withColumn("host", graft.canon.CanonUdfs.url_host(col("url")))
       .withColumn("urlKey", xxhash64(col("url")))
     val deduped = seedJobs
       .withColumn("rn", row_number().over(
@@ -358,8 +358,8 @@ final class CrawlEngine(
     }.toDF("routeId", "rawUrl")
     val known = spawnedRaw.filter(col("routeId").isin(routes.keys.toSeq: _*))
     val canonical = known
-      .withColumn("url", graft.canon.CanonUdfs.canonUdf(col("rawUrl")))
-      .withColumn("host", graft.canon.CanonUdfs.hostUdf(col("url")))
+      .withColumn("url", graft.canon.CanonUdfs.canon_url(col("rawUrl")))
+      .withColumn("host", graft.canon.CanonUdfs.url_host(col("url")))
       .withColumn("urlKey", xxhash64(col("url")))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window

@@ -80,4 +80,31 @@ class UrlCanonSpec extends AnyFunSuite with PropHelper {
       assert(UrlCanon.host(UrlCanon.canonicalize(u)) == UrlCanon.host(u))
     }
   }
+
+  test("native canon_url/url_host expressions match the Scala functions and codegen") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val urls = Seq("HTTP://ExAmple.COM:80/a/../b?z=1&a=2#f", "not a url", null,
+      "https://U@h.COM:443/%7euser/./img%2F1?b&a=%41")
+    val df = urls.toDF("u").select(
+      col("u"),
+      graft.canon.CanonUdfs.canon_url(col("u")).as("c"),
+      graft.canon.CanonUdfs.url_host(col("u")).as("h"))
+    val rows = df.collect()
+    urls.zip(rows).foreach { case (u, r) =>
+      assert(r.getString(1) == UrlCanon.canonicalize(u))
+      if (u == null) assert(r.isNullAt(2))
+      else assert(r.getString(2) == UrlCanon.host(u))
+    }
+    // the expression must NOT be a ScalaUDF (it inlines into codegen)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("UDF"), plan)
+    // SQL registration via extensions-style injection
+    graft.canon.CanonUdfs.register(spark)
+    val viaSql = spark.sql(
+      "SELECT canon_url('HTTP://A.com:80/x/../y') AS c, url_host('http://U@B.com:8080/p') AS h")
+      .head()
+    assert(viaSql.getString(0) == "http://a.com/y" && viaSql.getString(1) == "b.com")
+  }
 }
