@@ -142,7 +142,16 @@ final class CrawlEngine(
   // an uncommitted delta from a killed run is invisible (and is cleaned and
   // deterministically rewritten on resume).
   private def deltaDir = s"${cfg.statePath}/items_delta"
+  private def itemsBaseDir = s"${cfg.statePath}/items_base"
   private def logDir(name: String) = s"${cfg.statePath}/logs/$name"
+
+  /** Highest compacted-base step (see [[compactItems]]); -1 = no base. */
+  private def latestBaseStep: Int = {
+    val d = new java.io.File(itemsBaseDir)
+    val steps = Option(d.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).collect { case n if n.startsWith("step=") => n.substring(5).toInt }
+    if (steps.isEmpty) -1 else steps.max
+  }
 
   private def readStepPartitioned(base: String, upToStep: Int): Option[DataFrame] = {
     val d = new java.io.File(base)
@@ -158,10 +167,22 @@ final class CrawlEngine(
       .parquet(base).filter(col("step") <= upToStep))
   }
 
-  private def readItemDeltas(upToStep: Int): Dataset[ImageItem] =
-    readStepPartitioned(deltaDir, upToStep, itemSchema)
-      .map(_.drop("step").as[ImageItem])
-      .getOrElse(spark.emptyDataset[ImageItem])
+  private def readItemDeltas(upToStep: Int): Dataset[ImageItem] = {
+    val b = latestBaseStep
+    val base =
+      if (b >= 0)
+        Some(spark.read.schema(itemSchema)
+          .parquet(s"$itemsBaseDir/step=$b").as[ImageItem])
+      else None
+    val deltas = readStepPartitioned(deltaDir, upToStep, itemSchema)
+      .map(_.filter(col("step") > b).drop("step").as[ImageItem])
+    (base, deltas) match {
+      case (Some(x), Some(y)) => x.unionByName(y)
+      case (Some(x), None) => x
+      case (None, Some(y)) => y
+      case _ => spark.emptyDataset[ImageItem]
+    }
+  }
 
   private def readFetchLogUpTo(upToStep: Int): Dataset[FetchLog] =
     readStepPartitioned(logDir("fetchlog"), upToStep, dropStep(fetchLogSchema))
@@ -554,6 +575,48 @@ final class CrawlEngine(
 
   /** Continue from the latest snapshot — the kill-resume path. */
   def resume(): RunSummary = run()
+
+  /** Maintenance: compact the append-only item deltas (the engine's Iceberg
+    * `rewrite_data_files` analogue). A long crawl accumulates one delta dir
+    * per superstep, so the item reads and the per-superstep existing-keys
+    * scan pay O(steps) file opens; compaction LWW-resolves everything up to
+    * the committed step into `items_base/step=K` (written to a temp dir,
+    * atomic rename — readers take the max base and deltas AFTER it, so every
+    * crash window leaves a consistent view), then drops the absorbed delta
+    * dirs. Safe between supersteps or after a run; NOT concurrent with
+    * step(). After compaction, phash near-dup suppression compares against
+    * the LIVE item set only — superseded versions no longer vote (the
+    * live-set semantics; pre-compaction scans see all delta rows).
+    */
+  def compactItems(): Unit = withEngineConf {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def deleteRec(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    for (v <- currentVersion) {
+      val committed = stepOf(v)
+      val prevBase = latestBaseStep
+      if (committed >= 0 && prevBase < committed) {
+        val tmp = Paths.get(cfg.statePath, ".compact-items")
+        deleteRec(tmp)
+        Items.resolve(readItemDeltas(committed)).write.parquet(tmp.toString)
+        Files.createDirectories(Paths.get(itemsBaseDir))
+        val target = Paths.get(itemsBaseDir, s"step=$committed")
+        deleteRec(target)
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        // absorbed inputs — readers already ignore them (max-base rule)
+        if (prevBase >= 0) deleteRec(Paths.get(itemsBaseDir, s"step=$prevBase"))
+        val d = new java.io.File(deltaDir)
+        Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+          val n = f.getName
+          if (n.startsWith("step=") && n.substring(5).toInt <= committed)
+            deleteRec(f.toPath)
+        }
+      }
+    }
+  }
 
   private def summary(steps: Int): RunSummary = {
     val m = metrics

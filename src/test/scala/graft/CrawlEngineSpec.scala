@@ -119,6 +119,39 @@ class CrawlEngineSpec extends SparkSpec {
     assert(fA.sameElements(fB), "resumed frontier differs from straight run")
   }
 
+  test("compaction mid-crawl: identical final state, absorbed deltas dropped") {
+    val dirA = tmpDir("engine-compact")
+    val a = new CrawlEngine(spark, routes, fetcher, Nil,
+      EngineConfig(statePath = dirA, hostBudget = 2, maxSteps = 3,
+        bloomPartitions = 4, bloomCapacityPerShard = 1 << 16))
+    a.seed(SyntheticCorpus.seeds(spec))
+    a.run() // 3 supersteps
+    a.compactItems()
+    // absorbed step dirs are gone; the base holds the resolved view
+    val deltaDirs = Option(new java.io.File(s"$dirA/items_delta").listFiles())
+      .getOrElse(Array.empty).map(_.getName).filter(_.startsWith("step="))
+    assert(deltaDirs.isEmpty, s"deltas not absorbed: ${deltaDirs.mkString(",")}")
+    assert(new java.io.File(s"$dirA/items_base").isDirectory)
+    val midKeys = a.items.collect().map(_.key).sorted
+
+    val resumed = new CrawlEngine(spark, routes, fetcher, Nil,
+      EngineConfig(statePath = dirA, hostBudget = 2,
+        bloomPartitions = 4, bloomCapacityPerShard = 1 << 16))
+    assert(resumed.items.collect().map(_.key).sorted.sameElements(midKeys),
+      "compacted view differs across engine instances")
+    resumed.resume()
+    resumed.compactItems() // second compaction replaces the first base
+
+    val dirB = tmpDir("engine-nocompact")
+    val b = newEngine(dirB)
+    b.seed(SyntheticCorpus.seeds(spec))
+    b.run()
+
+    val ia = resumed.items.collect().map(i => (i.key, i.phash, i.createdStep)).sortBy(_._1)
+    val ib = b.items.collect().map(i => (i.key, i.phash, i.createdStep)).sortBy(_._1)
+    assert(ia.sameElements(ib), "compacted run items differ from straight run")
+  }
+
   test("robots: disallowed prefix blocks, crawl-delay throttles") {
     val dir = tmpDir("engine-robots")
     val rules = Seq(
