@@ -83,24 +83,26 @@ object TextOps {
   }
 
   /** SimHash: 64-bit signature from token-hash bit votes; near-dup pairs via
-    * 8×8-bit band join + exact `bit_count(xor) ≤ 12`. Rows-only (xxhash64).
+    * 8×8-bit band join + exact `bit_count(xor) ≤ 3` (the classic 64-bit
+    * simhash near-dup threshold; 8 bands make candidate generation COMPLETE
+    * for any hamming ≤ 7 by pigeonhole — a looser threshold would silently
+    * miss pairs that differ in every band). Rows-only (xxhash64).
     */
   def q23Simhash(s: SparkSession, dir: String): DataFrame = {
     val tokenHash = docs(s, dir)
       .select(col("doc_id"), explode(toks).as("tok"))
       .filter(col("tok") =!= "")
       .withColumn("h", xxhash64(col("tok")))
-    // per (doc, bit): vote = +1 where bit set, -1 where clear, weighted by count
-    val bits = tokenHash.select(col("doc_id"), col("h"),
-        posexplode(array((0 until 64).map(b =>
-          when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)): _*))
-          .as(Seq("bit", "vote")))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("vote")).as("v"))
-    val sig = bits
-      .withColumn("bitval", when(col("v") > 0, expr("shiftleft(1L, CAST(bit AS INT))")).otherwise(0L))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("bitval")).as("simhash"))
+    // per-bit votes (+1 set / -1 clear per token occurrence) as 64 aggregate
+    // columns in ONE map-side-combinable groupBy — no 64× row explosion, no
+    // second shuffle (was: posexplode to (doc, bit, vote) rows + two aggs)
+    val voteCols = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(s"v$b"))
+    val votes = tokenHash.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    val sig = votes.select(col("doc_id"),
+      (0 until 64).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _).as("simhash"))
     val banded = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 8).map(b =>
         shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)).as(Seq("band", "bv")))
@@ -109,8 +111,8 @@ object TextOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= 3) // before distinct: shrink the dedup input
       .distinct()
-      .filter(col("hamming") <= 12)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
