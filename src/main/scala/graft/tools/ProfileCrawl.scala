@@ -3,17 +3,23 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import java.util.concurrent.atomic.AtomicInteger
-import graft.corpus.{CorpusSpec, SiteRoutes, SyntheticCorpus}
+import scala.util.chaining._
+import graft.corpus.{CorpusSpec, SiteRoutes, SynthFetcher, SyntheticCorpus}
 import graft.engine.{CrawlEngine, EngineConfig}
 import graft.fetch.CorpusFetcher
 
-/** Dev tool: per-superstep wall clock + Spark job counts for the q50 crawl. */
+/** Dev tool: per-superstep wall clock + Spark job counts/time for a crawl.
+  * Usage: ProfileCrawl [hosts details budget img cores] — with args, uses the
+  * ScalingBench-style SynthFetcher workload; without, the small q50 corpus.
+  */
 object ProfileCrawl {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val cores = args.lift(4).map(_.toInt).getOrElse(32)
+    val spark = SparkSession.builder().master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new AtomicInteger(0)
@@ -34,17 +40,31 @@ object ProfileCrawl {
         }
       }
     })
-    val spec = CorpusSpec(hosts = 2, listPages = 2, detailsPerList = 6)
     val t0 = System.nanoTime()
-    val eng = new CrawlEngine(spark, SiteRoutes.registry(spec),
-      new CorpusFetcher(SyntheticCorpus.buildLocal(spec)), Nil,
-      EngineConfig(
-        statePath = java.nio.file.Files.createTempDirectory("graft-prof").toString,
-        hostBudget = 8, bloomPartitions = 4, bloomCapacityPerShard = 1 << 18))
-    println(f"construct: ${(System.nanoTime() - t0) / 1e9}%.2f s, jobs=${jobs.get}")
+    val eng = if (args.nonEmpty) {
+      val spec = CorpusSpec(hosts = args(0).toInt, listPages = 1,
+        detailsPerList = args(1).toInt,
+        imgW = args.lift(3).map(_.toInt).getOrElse(224),
+        imgH = args.lift(3).map(_.toInt).getOrElse(224))
+      new CrawlEngine(spark,
+        SiteRoutes.registry(spec, detailConcurrency = args(2).toInt),
+        new SynthFetcher(spec), Nil,
+        EngineConfig(
+          statePath = java.nio.file.Files.createTempDirectory("graft-prof").toString,
+          hostBudget = args(2).toInt, retryBackoffSteps = 0,
+          bloomPartitions = 8, bloomCapacityPerShard = 1 << 20))
+        .tap(_.seed(SyntheticCorpus.seeds(spec)))
+    } else {
+      val spec = CorpusSpec(hosts = 2, listPages = 2, detailsPerList = 6)
+      new CrawlEngine(spark, SiteRoutes.registry(spec),
+        new CorpusFetcher(SyntheticCorpus.buildLocal(spec)), Nil,
+        EngineConfig(
+          statePath = java.nio.file.Files.createTempDirectory("graft-prof").toString,
+          hostBudget = 8, bloomPartitions = 4, bloomCapacityPerShard = 1 << 18))
+        .tap(_.seed(SyntheticCorpus.seeds(spec)))
+    }
+    println(f"construct+seed: ${(System.nanoTime() - t0) / 1e9}%.2f s, jobs=${jobs.get}")
     var t = System.nanoTime()
-    eng.seed(SyntheticCorpus.seeds(spec))
-    println(f"seed: ${(System.nanoTime() - t) / 1e9}%.2f s, jobs=${jobs.get}")
     var going = true
     var i = 0
     while (going) {
