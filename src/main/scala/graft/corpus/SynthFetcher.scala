@@ -32,7 +32,7 @@ final class SynthFetcher(spec: CorpusSpec) extends Serializable with Fetcher {
       toPage(SyntheticCorpus.listingRow(spec, h.toInt, p.toInt), attempt)
     case ImgRe(h, id) if h.toInt < spec.hosts && id.toLong < spec.totalDetails &&
         spec.hostOf(id.toLong) == h.toInt =>
-      toPage(SyntheticCorpus.detailRow(spec, id.toLong), attempt)
+      toPage(SyntheticCorpus.detailRow(spec, id.toLong, withPhash = false), attempt)
     case _ =>
       FetchedPage(url, graft.canon.UrlCanon.host(url), 404, "text/plain",
         Array.emptyByteArray)

@@ -59,8 +59,13 @@ object SyntheticCorpus {
   def caption(imageId: Long, host: String): String =
     s"synthetic image $imageId served by $host"
 
-  /** Build one detail-page row (image payload). */
-  def detailRow(spec: CorpusSpec, id: Long): CorpusRow = {
+  /** Build one detail-page row (image payload). `withPhash = false` skips
+    * the ground-truth phash (a decode + DCT of synthetic bookkeeping): the
+    * scraper recomputes its own phash from the fetched bytes, so fetchers
+    * that never expose the corpus value (SynthFetcher at bench scale) need
+    * not pay for it.
+    */
+  def detailRow(spec: CorpusSpec, id: Long, withPhash: Boolean = true): CorpusRow = {
     val hostIdx = spec.hostOf(id)
     val host = spec.hostName(hostIdx)
     val url = spec.detailUrl(hostIdx, id)
@@ -76,7 +81,7 @@ object SyntheticCorpus {
       val (fmt, ct, bytes) =
         if (isJpeg) ("jpeg", "image/jpeg", Images.encodeJpeg(img))
         else ("png", "image/png", Images.encodePng(img))
-      val ph = Images.phashOfBytes(bytes)
+      val ph = if (withPhash) Images.phashOfBytes(bytes) else 0L
       val fail = if (id % spec.flakyMod == 5) 1 else 0
       CorpusRow(url, host, DETAIL, 200, fail, ct, bytes,
         caption(id, host), id.toString, spec.imgW, spec.imgH, fmt, ph)
