@@ -41,6 +41,7 @@ object ScalingBench {
 
   def runLevel(cores: Int, spec: CorpusSpec, budget: Int,
       shufflePartitions: Int = 32): Level = {
+    val localDir = shmDir(s"local$cores")
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
@@ -53,15 +54,15 @@ object ScalingBench {
       .config("spark.sql.adaptive.enabled", "false") // skew handled by salting; AQE job-splitting only adds superstep latency at this cadence
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", shmDir(s"local$cores"))
+      .config("spark.local.dir", localDir)
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // detail concurrency = budget (the politeness cap under test is the
+    // host budget); retry backoff 0 folds flaky retries into the next
+    // regular wave instead of spawning tiny tail supersteps.
+    val state = shmDir(s"scale$cores")
     try {
-      // detail concurrency = budget (the politeness cap under test is the
-      // host budget); retry backoff 0 folds flaky retries into the next
-      // regular wave instead of spawning tiny tail supersteps.
-      val state = shmDir(s"scale$cores")
       val eng = new CrawlEngine(spark,
         SiteRoutes.registry(spec, detailConcurrency = budget),
         new SynthFetcher(spec), Nil,
@@ -69,14 +70,21 @@ object ScalingBench {
           statePath = state,
           hostBudget = budget, retryBackoffSteps = 0,
           bloomPartitions = 8, bloomCapacityPerShard = 1 << 20,
-          saltBuckets = 16))
+          saltBuckets = 16,
+          fetchSplits = 8)) // synth fetcher: no real host to be polite to
       eng.seed(SyntheticCorpus.seeds(spec))
       val t0 = System.nanoTime()
       val sum = eng.run()
       val sec = (System.nanoTime() - t0) / 1e9
-      deleteRec(state)
       Level(cores, sum.fetched, sum.items, sum.steps, sec)
-    } finally spark.stop()
+    } finally {
+      spark.stop()
+      // tmpfs hygiene: crawl state AND the per-level spark.local.dir live in
+      // RAM-backed /dev/shm — leaked dirs from failed/repeated runs would
+      // exhaust the box's memory (ADVICE r01)
+      deleteRec(state)
+      deleteRec(localDir)
+    }
   }
 
   private def deleteRec(dir: String): Unit = {
@@ -109,14 +117,22 @@ object ScalingBench {
     // can be dominated by host noise. Alternate the levels and keep the
     // best run of each — both levels sample the same noise distribution,
     // and best-of is the standard noisy-host benchmarking reduction.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val runs = (1 to reps).flatMap { _ =>
       Seq(runLevel(nCores, spec, budget, n4Cores),
         runLevel(n4Cores, spec, budget, n4Cores))
     }
-    val n = runs.filter(_.cores == nCores).maxBy(_.throughput)
-    val n4 = runs.filter(_.cores == n4Cores).maxBy(_.throughput)
+    // GATED number = ratio of per-level MEDIANS: best-of-N is upward-biased
+    // for whichever level catches a lucky quiet window (ADVICE r01). Best-of
+    // is still reported alongside as the noise-floor indicator.
+    def median(ls: Seq[Level]): Level = ls.sortBy(_.throughput)(
+      Ordering[Double]).apply((ls.size - 1) / 2)
+    val nAll = runs.filter(_.cores == nCores)
+    val n4All = runs.filter(_.cores == n4Cores)
+    val n = median(nAll)
+    val n4 = median(n4All)
     val eff = (n4.throughput / n.throughput) / 4.0
+    val effBest = (n4All.map(_.throughput).max / nAll.map(_.throughput).max) / 4.0
 
     val md =
       f"""# BENCH — crawl scaling (N vs 4N, sandbox proxy for executors)
@@ -127,7 +143,7 @@ object ScalingBench {
          |bloom 8×${1 << 20} capacity. Pages synthesized on demand in executors
          |(graft.corpus.SynthFetcher); fetch+extract = render + encode + decode + phash.
          |
-         || level | cores | fetched URLs | items | supersteps | wall sec | URLs/sec |
+         || level | cores | fetched URLs | items | supersteps | wall sec | URLs/sec (median of $reps) |
          ||---|---|---|---|---|---|---|
          || N  | ${n.cores} | ${n.fetched} | ${n.items} | ${n.steps} | ${n.sec}%.1f | ${n.throughput}%.1f |
          || 4N | ${n4.cores} | ${n4.fetched} | ${n4.items} | ${n4.steps} | ${n4.sec}%.1f | ${n4.throughput}%.1f |
@@ -135,13 +151,17 @@ object ScalingBench {
          |**Scaling efficiency = (thr@4N / thr@N) / 4 = $eff%.3f** (target ≥ 0.8,
          |BASELINE.json north_rule; local[${n.cores}]→local[${n4.cores}] on one machine is the
          |sandbox stand-in for N→4N executors — same input, same plans, shuffle
-         |partitions = 4N cores at both levels).
+         |partitions = 4N cores at both levels). Gated number = ratio of per-level
+         |MEDIANS over $reps alternating reps (best-of-reps ratio: $effBest%.3f,
+         |reported for the noise floor only — best-of is upward-biased).
+         |All throughputs per level: N = ${nAll.map(l => f"${l.throughput}%.0f").mkString(", ")};
+         |4N = ${n4All.map(l => f"${l.throughput}%.0f").mkString(", ")} URLs/s.
          |
          |Method notes (each measured, see git history):
-         |- Levels alternate N,4N ×$reps; best run of each kept — the host's
-         |  effective CPU speed drifts minute-to-minute (2× swings on identical
-         |  steps), and best-of on an alternating schedule samples both levels
-         |  from the same noise floor.
+         |- Levels alternate N,4N ×$reps; median of each level is the gated
+         |  number — the host's effective CPU speed drifts minute-to-minute
+         |  (2× swings on identical steps), and the alternating schedule
+         |  samples both levels from the same noise distribution.
          |- N=4→4N=16 cores: at 32 threads this box saturates memory bandwidth on
          |  the codec path (graft.tools.CodecCal: 63 pages/s/thread at 4–16
          |  threads, 27–57 at 32) — a per-executor resource a real 4N cluster
@@ -156,6 +176,6 @@ object ScalingBench {
          |""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"), md)
     println(
-      f"""{"metric":"crawl_scaling","n_cores":${n.cores},"n_urls_per_sec":${n.throughput}%.1f,"n4_cores":${n4.cores},"n4_urls_per_sec":${n4.throughput}%.1f,"efficiency":$eff%.3f,"fetched":${n4.fetched}}""")
+      f"""{"metric":"crawl_scaling","n_cores":${n.cores},"n_urls_per_sec":${n.throughput}%.1f,"n4_cores":${n4.cores},"n4_urls_per_sec":${n4.throughput}%.1f,"efficiency":$eff%.3f,"efficiency_best":$effBest%.3f,"fetched":${n4.fetched}}""")
   }
 }

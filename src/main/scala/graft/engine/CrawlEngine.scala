@@ -55,10 +55,15 @@ case class EngineConfig(
       * that placement makes stage wall = the unluckiest partition's host
       * count (measured ~1.7× mean at 450 hosts / 32 partitions). The wave is
       * byte-free metadata, so one extra exchange splitting each host into
-      * `fetchSplits` chunks is ~free and caps the tail; per-host connection
-      * reuse still amortizes within a chunk (budget/fetchSplits pages).
+      * `fetchSplits` chunks is ~free and caps the tail.
+      *
+      * DEFAULT 1: splitting a host across k tasks means up to k simultaneous
+      * connections to that host with no inter-request delay — a weaker
+      * politeness posture than the reference's per-route concurrency gate
+      * (nest.js:238-261). Synthetic-fetcher benches opt into 8 explicitly;
+      * real fetchers should raise it only with a per-task rate limiter.
       */
-    fetchSplits: Int = 8,
+    fetchSplits: Int = 1,
     /** Keep AQE on inside supersteps. Default off: AQE materializes every
       * query stage as its own job, which at superstep cadence multiplies
       * scheduler+planning overhead ~2× (measured); skew is already handled

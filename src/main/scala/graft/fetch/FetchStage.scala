@@ -19,11 +19,15 @@ case class StepOutcome(
 
 /** The fetch+extract superstep stage — the engine's only imperative kernel.
   *
-  * Runs as `mapPartitions` over the politeness-scheduled wave: NO shuffle —
-  * the wave arrives already salted-partitioned by host, each task fetches
-  * its partition's URLs (per-partition client in production; corpus lookup
-  * here) and applies the route's scraper (the reference's UDTF-like user
-  * surface: one page → many items + many jobs, src/spider.js:290-334).
+  * Runs as `mapPartitions` over the politeness-scheduled wave. The engine
+  * repartitions the wave by (host, urlKey % fetchSplits) first (see
+  * [[graft.engine.EngineConfig.fetchSplits]]): at the default splits=1 each
+  * host's fetches land in one task (serialized — strongest politeness); at
+  * splits=k a host spans up to k concurrent tasks (benches opt in). Each
+  * task fetches its partition's URLs (per-partition client in production;
+  * corpus lookup here) and applies the route's scraper (the reference's
+  * UDTF-like user surface: one page → many items + many jobs,
+  * src/spider.js:290-334).
   * Sanitization replicates spider.js:290-334 including the documented
   * `pickBy(identity)` quirk (falsy-valued open-schema fields dropped).
   */

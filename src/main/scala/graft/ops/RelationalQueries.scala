@@ -195,8 +195,8 @@ object RelationalQueries {
   val oracle: Map[String, String] = Map(
     "q01_stats_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-         SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
          COUNT(*) AS n
          FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
     "q02_priority_topk" ->
@@ -216,7 +216,7 @@ object RelationalQueries {
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
          ORDER BY c_custkey""",
     "q06_broadcast_lookup" ->
-      """SELECT p_brand, COUNT(*) AS n, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+      """SELECT p_brand, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY 1 ORDER BY 1""",
     "q07_upsert_merge" ->
@@ -245,7 +245,7 @@ object RelationalQueries {
          WHERE event_type = 'error' GROUP BY user_id HAVING COUNT(*) >= 3
          ORDER BY user_id""",
     "q13_running_total" ->
-      """SELECT user_id, SUM(CAST(ROUND(value*100) AS BIGINT)) AS total_cents
+      """SELECT user_id, CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS total_cents
          FROM events GROUP BY user_id ORDER BY user_id""",
     "q14_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
@@ -263,7 +263,7 @@ object RelationalQueries {
          FROM events GROUP BY 1 ORDER BY 1""",
     "q18_star_join" ->
       """SELECT r_name, COUNT(*) AS n,
-         SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS sum_cents
+         CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey

@@ -32,7 +32,14 @@ object StreamingOps {
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Complete())
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      // unstage: repeated invocations (bench reps) must not leak a temp
+      // dir + symlink per call
+      java.nio.file.Files.deleteIfExists(stage.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(stage)
+    }
     s.table(name)
       // driver testdata stores ts as TIMESTAMP_NTZ; session TZ is UTC so the
       // cast back is exact and the schema matches the batch twin (q15)

@@ -52,7 +52,8 @@ object ProfileCrawl {
         EngineConfig(
           statePath = java.nio.file.Files.createTempDirectory("graft-prof").toString,
           hostBudget = args(2).toInt, retryBackoffSteps = 0,
-          bloomPartitions = 8, bloomCapacityPerShard = 1 << 20))
+          bloomPartitions = 8, bloomCapacityPerShard = 1 << 20,
+          fetchSplits = 8)) // synth fetcher: politeness not at stake
         .tap(_.seed(SyntheticCorpus.seeds(spec)))
     } else {
       val spec = CorpusSpec(hosts = 2, listPages = 2, detailsPerList = 6)
