@@ -73,7 +73,17 @@ case class EngineConfig(
       */
     aqeInSteps: Boolean = false,
     /** probe the seen-set via broadcast sketches while total size fits. */
-    bloomBroadcastMaxBytes: Long = 256L << 20)
+    bloomBroadcastMaxBytes: Long = 256L << 20,
+    /** Max rows a superstep may collect to the driver (wave keys, item
+      * summaries, spawn candidates). The driver-resident plans cut ~10 Spark
+      * jobs per superstep while the politeness envelope (hosts × budget ×
+      * items/page) is driver-sized; ABOVE this threshold the same superstep
+      * runs on the retained fully-distributed plans (anti-joins + banded
+      * suppression + flag joins) — same semantics, no driver state, so a
+      * 10^6-host frontier degrades to slower supersteps instead of a driver
+      * OOM. Tests force 0 to pin driver/distributed parity.
+      */
+    driverCollectMaxRows: Long = 2000000L)
 
 /** Per-run roll-up returned by [[CrawlEngine.run]]. */
 case class RunSummary(steps: Int, fetched: Long, items: Long, deadLettered: Long)
@@ -310,14 +320,13 @@ final class CrawlEngine(
     var wave = Politeness.wave(front, s, cfg.hostBudget, routeCaps,
         cfg.disabledRoutes, cfg.saltBuckets)
       .localCheckpoint(true)
-    // One collect replaces the count: the wave's (key, host) pairs drive the
-    // frontier rewrite filter and the robots crawl-delay bump driver-side.
-    // Wave size is politeness-bounded (hosts × budget) — the exact envelope
-    // the previous broadcast anti-joins shipped to every executor anyway;
-    // driver-resident sets cost the same memory and ~10 fewer Spark jobs
-    // per superstep (each broadcast exchange materializes as its own job).
-    var waveMeta = wave.select(col("urlKey"), col("host")).as[(Long, String)].collect()
-    var waveN = waveMeta.length.toLong
+    // The count (cheap scan of the checkpointed wave) sizes the superstep:
+    // waves under driverCollectMaxRows run the driver-resident plans (wave
+    // keys, item summaries, spawn candidates live driver-side — the exact
+    // politeness envelope the broadcast anti-joins shipped to every executor
+    // anyway, ~10 fewer Spark jobs per superstep); larger waves fall back to
+    // the retained fully-distributed plans.
+    var waveN = wave.count()
     if (waveN == 0) {
       // Nothing eligible *now*, but retry-backoff / crawl-delay jobs may be
       // waiting on a future step — jump the clock to the earliest one (the
@@ -335,11 +344,11 @@ final class CrawlEngine(
       wave = Politeness.wave(front, s, cfg.hostBudget, routeCaps,
           cfg.disabledRoutes, cfg.saltBuckets)
         .localCheckpoint(true)
-      waveMeta = wave.select(col("urlKey"), col("host")).as[(Long, String)].collect()
-      waveN = waveMeta.length.toLong
+      waveN = wave.count()
       if (waveN == 0) { wave.unpersist(); return false }
     }
     val stepNow = s
+    val waveOnDriver = waveN <= cfg.driverCollectMaxRows
 
     // -- fetch+extract -----------------------------------------------------
     // Rebalance the SELECTED wave before fetching (see EngineConfig
@@ -351,51 +360,127 @@ final class CrawlEngine(
     val outcomes = FetchStage.run(waveFetch, routesBc, fetcherBc)
       .localCheckpoint(true)
 
+    // -- sizing probe: one cheap agg over the checkpointed outcomes decides
+    // driver-resident vs distributed plans for the item and spawn paths
+    val sizeRow = outcomes.agg(
+      coalesce(sum(size(col("items"))), lit(0L)),
+      coalesce(sum(size(col("spawned"))), lit(0L))).head()
+    val nIncomingItems = sizeRow.getLong(0)
+    val nSpawnedUpper = sizeRow.getLong(1)
+    val itemsOnDriver = nIncomingItems <= cfg.driverCollectMaxRows
+
     // -- items path (append-only deltas; merge-on-read) ------------------
-    // Incoming items per superstep are politeness-bounded, so their
+    // Incoming items per superstep are normally politeness-bounded, so their
     // (srcJob, key, image_id, phash) summaries live driver-side (bytes stay
     // distributed); created-vs-updated flags and phash near-dup suppression
     // cost ONE distributed pass over the existing deltas (the unbounded
-    // side) instead of a join cascade. See Items.suppressAndSeenSets.
+    // side) instead of a join cascade (Items.suppressAndSeenSets). Above
+    // driverCollectMaxRows the whole path runs distributed: banded
+    // suppression join + per-key winner window + flag aggregation — same
+    // semantics, nothing driver-resident.
     // Column-pruned scans of the outcome checkpoint: a typed flatMap would
     // deserialize every StepOutcome INCLUDING the item image bytes; the
     // projections below keep every post-fetch pass byte-free except the one
     // delta write that actually lands the bytes.
-    val itemTups = outcomes
-      .select(col("job.urlKey").as("_1"), explode(expr(
+    val haveDeltas = new java.io.File(deltaDir).isDirectory
+    val itemMetaDf = outcomes
+      .select(col("job.urlKey").as("srcJob"), explode(expr(
         "transform(items, it -> named_struct(" +
           "'key', it.key, 'image_id', it.image_id, 'phash', it.phash))")).as("it"))
-      .select(col("_1"), col("it.key").as("_2"),
-        coalesce(col("it.image_id"), lit("")).as("_3"), col("it.phash").as("_4"))
-      .as[(Long, String, String, Long)]
-      .collect()
-    val existingDf =
-      if (new java.io.File(deltaDir).isDirectory && itemTups.nonEmpty)
-        Some(readItemDeltas(committed).select(col("key"), col("phash")).toDF())
-      else None
-    val (suppressedKeys, existedKeys) = Items.suppressAndSeenSets(
-      itemTups, existingDf, cfg.phashThreshold)
-    val keepTups = itemTups.filterNot { case (_, k, _, _) => suppressedKeys(k) }
-    // one winner per key — lowest (srcJob, image_id), the same deterministic
-    // pick the previous per-key ranking window made
-    val winners: Map[String, (Long, String)] = keepTups.groupBy(_._2).map {
-      case (k, rows) => k -> rows.iterator.map(r => (r._1, r._3)).min
-    }
-    val flagBySrc: Map[Long, (Long, Long)] = winners.groupBy(_._2._1).map {
-      case (src, ws) =>
-        val created = ws.count { case (k, _) => !existedKeys(k) }
-        src -> (created.toLong, (ws.size - created).toLong)
-    }
-    val winnersBc = spark.sparkContext.broadcast(winners)
-    val delta = outcomes.flatMap { o =>
-      val w = winnersBc.value
-      val emitted = scala.collection.mutable.Set.empty[String]
-      o.items.iterator
-        .filter(it => w.get(it.key)
-          .contains((o.job.urlKey, Option(it.image_id).getOrElse(""))) &&
-          emitted.add(it.key))
-        .map(_.copy(createdStep = stepNow))
-    }
+      .select(col("srcJob"), col("it.key").as("key"),
+        coalesce(col("it.image_id"), lit("")).as("image_id"),
+        col("it.phash").as("phash"))
+
+    // (delta to append, per-src flags: Left = driver map, Right = DataFrame
+    // (srcJob, created, updated))
+    val (delta: Dataset[ImageItem],
+         flags: Either[Map[Long, (Long, Long)], DataFrame],
+         winnersCkpt: Option[DataFrame]) =
+      if (itemsOnDriver) {
+        val itemTups = itemMetaDf
+          .as[(Long, String, String, Long)]
+          .collect()
+        val existingDf =
+          if (haveDeltas && itemTups.nonEmpty)
+            Some(readItemDeltas(committed).select(col("key"), col("phash")).toDF())
+          else None
+        val (suppressedKeys, existedKeys) = Items.suppressAndSeenSets(
+          itemTups, existingDf, cfg.phashThreshold)
+        val keepTups = itemTups.filterNot { case (_, k, _, _) => suppressedKeys(k) }
+        // one winner per key — lowest (srcJob, image_id), the same
+        // deterministic pick the distributed ranking window makes
+        val winners: Map[String, (Long, String)] = keepTups.groupBy(_._2).map {
+          case (k, rows) => k -> rows.iterator.map(r => (r._1, r._3)).min
+        }
+        val flagBySrc: Map[Long, (Long, Long)] = winners.groupBy(_._2._1).map {
+          case (src, ws) =>
+            val created = ws.count { case (k, _) => !existedKeys(k) }
+            src -> (created.toLong, (ws.size - created).toLong)
+        }
+        val winnersBc = spark.sparkContext.broadcast(winners)
+        val d = outcomes.flatMap { o =>
+          val w = winnersBc.value
+          val emitted = scala.collection.mutable.Set.empty[String]
+          o.items.iterator
+            .filter(it => w.get(it.key)
+              .contains((o.job.urlKey, Option(it.image_id).getOrElse(""))) &&
+              emitted.add(it.key))
+            .map(_.copy(createdStep = stepNow))
+        }
+        (d, Left(flagBySrc), None)
+      } else {
+        // distributed twin — same outputs, no driver state
+        val existingDf =
+          if (haveDeltas)
+            Some(readItemDeltas(committed).select(col("key"), col("phash")).toDF())
+          else None
+        val suppressed = Items.suppressedKeyDf(
+          itemMetaDf, existingDf, cfg.phashThreshold,
+          broadcastIncoming = false)
+        val keptMeta = itemMetaDf.join(suppressed, Seq("key"), "left_anti")
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key"))
+          .orderBy(col("srcJob").asc, col("image_id").asc)
+        // reused by the flag agg AND the delta semi-join → checkpoint once
+        val winnersDf = keptMeta
+          .withColumn("rn", row_number().over(win))
+          .filter(col("rn") === 1).drop("rn", "phash")
+          .localCheckpoint(true)
+        val winnersFlagged = existingDf match {
+          case Some(ex) => winnersDf.join(
+            ex.select(col("key")).distinct().withColumn("existed", lit(true)),
+            Seq("key"), "left")
+          case None => winnersDf.withColumn("existed", lit(false))
+        }
+        val flagDf = winnersFlagged.groupBy(col("srcJob"))
+          .agg(
+            sum(when(coalesce(col("existed"), lit(false)), 0L).otherwise(1L))
+              .as("created"),
+            sum(when(coalesce(col("existed"), lit(false)), 1L).otherwise(0L))
+              .as("updated"))
+        // land the winning rows (bytes move exactly once — the merge-on-key
+        // shuffle); posexplode + per-key pos order reproduces the driver
+        // path's "first matching item within the winning outcome" pick
+        val itemsPos = outcomes
+          .select(col("job.urlKey").as("psrc"),
+            posexplode(col("items")).as(Seq("pos", "item")))
+          .select(col("psrc"), col("pos"), col("item"),
+            col("item.key").as("pkey"),
+            coalesce(col("item.image_id"), lit("")).as("piid"))
+        val winKeyed = winnersDf.select(col("srcJob").as("wsrc"),
+          col("key").as("wkey"), col("image_id").as("wiid"))
+        val d = itemsPos.join(winKeyed,
+            col("psrc") === col("wsrc") && col("pkey") === col("wkey") &&
+              col("piid") === col("wiid"), "left_semi")
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("pkey")).orderBy(col("pos"))))
+          .filter(col("rn") === 1)
+          .select(col("item.*"))
+          .withColumn("createdStep", lit(stepNow))
+          .as[ImageItem]
+        (d, Right(flagDf), Some(winnersDf))
+      }
 
     // -- spawned-jobs path (byte-free projections of the checkpoint) ------
     val spawnedPart = outcomes
@@ -421,12 +506,13 @@ final class CrawlEngine(
     val sketchBytes = cfg.bloomPartitions *
       BloomSeen.estimatedShardBytes(cfg.bloomCapacityPerShard, cfg.bloomFpp)
     // While total sketch size fits the broadcast budget (i.e. until the
-    // frontier reaches billions of keys) the shards live driver-side:
-    // driver probe over collected candidate keys + driver-merged insert.
-    // Beyond that the cogroup paths take over — same semantics, fully
-    // distributed.
+    // frontier reaches billions of keys) AND the wave's spawn candidates fit
+    // the driver envelope, the shards live driver-side: driver probe over
+    // collected candidate keys + driver-merged insert. Beyond either bound
+    // the cogroup paths take over — same semantics, fully distributed.
     val shardsLocal: Option[Array[BloomShard]] =
-      if (sketchBytes <= cfg.bloomBroadcastMaxBytes)
+      if (sketchBytes <= cfg.bloomBroadcastMaxBytes &&
+          nSpawnedUpper <= cfg.driverCollectMaxRows)
         Some(shardCache.collect { case (`v`, sh) => sh }
           .getOrElse(readBloom(v).collect()))
       else None
@@ -493,14 +579,31 @@ final class CrawlEngine(
     // locals only in executor closures — capturing fields would serialize `this`
     val routesLocal = routesBc
     val backoffLocal = cfg.retryBackoffSteps
-    val flagBc = spark.sparkContext.broadcast(flagBySrc)
-    // byte-free projection: (job, status, action, hasNext, newState, nSpawned)
+    // byte-free projection: (job, status, action, hasNext, newState,
+    // nSpawned) + the per-job created/updated item flags, attached either
+    // from the driver-resident flag map (one broadcast) or by a left join
+    // with the distributed flag frame — identical downstream code.
     val metaDs = outcomes.select(col("job").as("_1"), col("status").as("_2"),
         col("action").as("_3"), col("hasNextPage").as("_4"),
         col("newState").as("_5"), size(col("spawned")).as("_6"))
       .as[(CrawlJob, Int, String, Boolean, Map[String, String], Int)]
-    val updatedWave = metaDs.map { case (job, _, action, hasNextPage, newState, nSpawned) =>
-      val (created, updated) = flagBc.value.getOrElse(job.urlKey, (0L, 0L))
+    val metaFlagged: Dataset[(CrawlJob, Int, String, Boolean, Map[String, String], Int, Long, Long)] =
+      flags match {
+        case Left(flagBySrc) =>
+          val flagBc = spark.sparkContext.broadcast(flagBySrc)
+          metaDs.map { case (job, st, a, h, ns, n) =>
+            val (c, u) = flagBc.value.getOrElse(job.urlKey, (0L, 0L))
+            (job, st, a, h, ns, n, c, u)
+          }
+        case Right(flagDf) =>
+          metaDs.join(flagDf.withColumnRenamed("srcJob", "jk"),
+              col("_1.urlKey") === col("jk"), "left")
+            .select(col("_1"), col("_2"), col("_3"), col("_4"), col("_5"),
+              col("_6"), coalesce(col("created"), lit(0L)).as("_7"),
+              coalesce(col("updated"), lit(0L)).as("_8"))
+            .as[(CrawlJob, Int, String, Boolean, Map[String, String], Int, Long, Long)]
+      }
+    val updatedWave = metaFlagged.map { case (job, _, action, hasNextPage, newState, nSpawned, created, updated) =>
       val tdel = routesLocal.value.get(job.routeId).map(_.transitionDelay).getOrElse(0)
       val stats2 = job.stats.copy(
         pages = job.stats.pages + (if (action == "ok") 1 else 0),
@@ -532,19 +635,30 @@ final class CrawlEngine(
     }
 
     // -- frontier rewrite + per-host crawl-delay bump --------------------
-    // wave keys are driver-resident → the frontier is narrowly scanned and
-    // filtered, never shuffled or joined — the rewrite is one codegen'd pass.
-    val waveKeysBc = spark.sparkContext.broadcast(waveMeta.map(_._1).sorted)
-    val notInWave = udf((k: Long) =>
-      java.util.Arrays.binarySearch(waveKeysBc.value, k) < 0)
-    val untouched = front.filter(notInWave(col("urlKey"))).as[CrawlJob]
+    // driver-sized waves: keys broadcast → the frontier is narrowly scanned
+    // and filtered, never shuffled or joined — the rewrite is one codegen'd
+    // pass. Larger waves: plain anti-join, strategy left to Catalyst/AQE.
+    val untouched =
+      if (waveOnDriver) {
+        val waveKeysBc = spark.sparkContext.broadcast(
+          wave.select(col("urlKey")).as[Long].collect().sorted)
+        val notInWave = udf((k: Long) =>
+          java.util.Arrays.binarySearch(waveKeysBc.value, k) < 0)
+        front.filter(notInWave(col("urlKey"))).as[CrawlJob]
+      } else
+        front.join(wave.select(col("urlKey")), Seq("urlKey"), "left_anti")
+          .as[CrawlJob]
     val frontier2 = untouched.unionByName(updatedWave).unionByName(fresh)
     val frontier3 = {
-      // robots crawl-delay: bump hosts fetched this wave (driver-known set;
-      // the robots rules table is tiny relative to the frontier by design)
-      val touched = waveMeta.iterator.map(_._2).toSet
+      // robots crawl-delay: bump hosts fetched this wave. The delayed-host
+      // universe is the robots rules table (tiny by design), so the touched∩
+      // delayed set collects driver-side at ANY wave size.
       val hostNext: Map[String, Int] =
-        hostDelay.collect { case (h, d) if touched(h) => h -> (stepNow + d) }
+        if (hostDelay.isEmpty) Map.empty
+        else wave.select(col("host")).distinct()
+          .filter(col("host").isin(hostDelay.keys.toSeq: _*))
+          .as[String].collect()
+          .map(h => h -> (stepNow + hostDelay(h))).toMap
       if (hostNext.isEmpty) frontier2
       else {
         val nextLit = typedLit(hostNext)
@@ -571,8 +685,7 @@ final class CrawlEngine(
     }
 
     // -- fetch log (single observability write; see FetchLog scaladoc) ----
-    val stepFetchLog = metaDs.map { case (job, status, action, _, _, nSpawned) =>
-      val (created, updated) = flagBc.value.getOrElse(job.urlKey, (0L, 0L))
+    val stepFetchLog = metaFlagged.map { case (job, status, action, _, _, nSpawned, created, updated) =>
       FetchLog(stepNow, job.host, job.urlKey, job.url, job.routeId,
         job.state.currentPage, status, job.priority, job.createdStep,
         action, job.errorCount, nSpawned, created, updated)
@@ -600,6 +713,7 @@ final class CrawlEngine(
     store.expire(v + 1 - cfg.retainSnapshots + 1)
 
     Seq(wave, outcomes, allowedJobs, fresh).foreach(_.unpersist())
+    winnersCkpt.foreach(_.unpersist())
     true
   }
 

@@ -165,22 +165,39 @@ object Items {
     (inBatch ++ vsExisting, seenKeys)
   }
 
-  /** Drop incoming items that are perceptual near-duplicates (hamming ≤ t on
-    * the 64-bit phash) of an existing item or of a lower-keyed incoming item.
+  /** Key-set core of the near-duplicate suppression, usable at ANY incoming
+    * size: the single-column DataFrame `key` of incoming rows that are
+    * perceptual near-duplicates (hamming ≤ t on the 64-bit phash) of an
+    * existing item or of a lower-keyed incoming row.
     *
     * Scale path: LSH banding — 8 bands × 8 bits. Any pair within hamming ≤ 7
     * shares at least one intact band (pigeonhole), so candidate generation is
     * an equi-join on (band, value): shuffle-joinable at any scale, no O(n²)
     * pairwise scan. Candidates are verified exactly with
     * `bit_count(phash XOR phash) ≤ t` (codegen'd built-ins, no UDF).
+    *
+    * Hot-bucket guard: a band value carried by more than `hotBucketCap`
+    * incoming rows would make candidate pairs quadratic (the classic LSH
+    * hot-bucket failure); such values are skipped — mass-identical payloads
+    * are instead collapsed by the exact-duplicate path (equality on the
+    * full 64-bit phash), which stays linear. The hot set itself is bounded
+    * by the 8×256-entry bucket space, so its anti-join side always
+    * broadcasts.
+    *
+    * @param broadcastIncoming true (wave-bounded incoming) broadcasts the
+    *        incoming bands so the existing side is scanned narrowly, never
+    *        shuffled — at 10^9 landed items the join stays map-side. false
+    *        (a wave too large for the driver/broadcast envelope) leaves join
+    *        strategy to Catalyst/AQE: sort-merge on (bandIdx, bandVal).
     */
-  def suppressNearDups(
-      incoming: Dataset[ImageItem],
-      existing: DataFrame, // needs only (key, phash) — column-pruned scan
-      t: Int = 6,
-      hotBucketCap: Int = 256): Dataset[ImageItem] = {
-    val spark = incoming.sparkSession
-    import spark.implicits._
+  def suppressedKeyDf(
+      incoming: DataFrame, // needs (key, phash); duplicate keys allowed
+      existing: Option[DataFrame], // needs only (key, phash) — column-pruned
+      t: Int,
+      hotBucketCap: Int = 256,
+      broadcastIncoming: Boolean = true): DataFrame = {
+    val none = incoming.select(col("key")).limit(0)
+    if (t < 0) return none
 
     def bandedCols(df: DataFrame, side: String): DataFrame = {
       val bands = array((0 until 8).map(b =>
@@ -189,34 +206,44 @@ object Items {
           posexplode(bands).as(Seq("bandIdx", "bandVal")))
     }
 
-    // incoming (one wave's items) is small vs existing (all landed items):
-    // broadcast the incoming bands so the existing side is scanned narrowly,
-    // never shuffled — at 10^9 landed items this join stays map-side.
-    // Hot-bucket guard: a band value carried by more than `hotBucketCap`
-    // incoming rows would make candidate pairs quadratic (the classic LSH
-    // hot-bucket failure); such values are skipped — mass-identical payloads
-    // are instead collapsed by the exact-duplicate path (equality on the
-    // full 64-bit phash), which stays linear.
-    val incAll = bandedCols(incoming.toDF(), "inc")
+    val incAll = bandedCols(incoming.select(col("key"), col("phash")), "inc")
     val hotVals = incAll.groupBy(col("bandIdx"), col("bandVal"))
       .agg(count(lit(1)).as("c")).filter(col("c") > hotBucketCap)
       .select(col("bandIdx"), col("bandVal"))
-    val inc = broadcast(incAll.join(broadcast(hotVals), Seq("bandIdx", "bandVal"),
-      "left_anti"))
-    val oldB = bandedCols(existing.select(col("key"), col("phash")), "old")
+    val incKept = incAll.join(broadcast(hotVals), Seq("bandIdx", "bandVal"),
+      "left_anti")
+    val inc = if (broadcastIncoming) broadcast(incKept) else incKept
 
-    val vsExisting = inc.join(oldB, Seq("bandIdx", "bandVal"))
-      .filter(bit_count(col("inc_phash").bitwiseXOR(col("old_phash"))) <= lit(t))
-      .select(col("inc_key").as("key")).distinct()
+    val vsExisting = existing match {
+      case Some(ex) =>
+        val oldB = bandedCols(ex.select(col("key"), col("phash")), "old")
+        inc.join(oldB, Seq("bandIdx", "bandVal"))
+          .filter(bit_count(col("inc_phash").bitwiseXOR(col("old_phash"))) <= lit(t))
+          .select(col("inc_key").as("key")).distinct()
+      case None => none
+    }
 
-    val incB2 = bandedCols(incoming.toDF(), "b")
+    val incB2 = bandedCols(incoming.select(col("key"), col("phash")), "b")
     val vsIncoming = inc.join(incB2, Seq("bandIdx", "bandVal"))
       .filter(col("b_key") < col("inc_key"))
       .filter(bit_count(col("inc_phash").bitwiseXOR(col("b_phash"))) <= lit(t))
       .select(col("inc_key").as("key")).distinct()
 
-    incoming.join(broadcast(vsExisting.union(vsIncoming).distinct()),
-        Seq("key"), "left_anti")
-      .as[ImageItem]
+    vsExisting.union(vsIncoming).distinct()
+  }
+
+  /** Drop incoming items that are near-duplicates of an existing item or of
+    * a lower-keyed incoming item — [[suppressedKeyDf]] applied as an
+    * anti-join filter over the typed incoming rows.
+    */
+  def suppressNearDups(
+      incoming: Dataset[ImageItem],
+      existing: DataFrame, // needs only (key, phash) — column-pruned scan
+      t: Int = 6,
+      hotBucketCap: Int = 256): Dataset[ImageItem] = {
+    val spark = incoming.sparkSession
+    import spark.implicits._
+    val suppressed = suppressedKeyDf(incoming.toDF(), Some(existing), t, hotBucketCap)
+    incoming.join(broadcast(suppressed), Seq("key"), "left_anti").as[ImageItem]
   }
 }

@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
   * (exact-normalized, n-gram Jaccard, MinHash-LSH, SimHash), language-ID
   * heuristic, quality scoring, token stats, fingerprinting.
   *
-  * Everything DuckDB-expressible carries an oracle (integer/rounded outputs
-  * only — no raw double comparisons); hash-based ops (MinHash/SimHash/
-  * fingerprints use Spark's xxhash64, which DuckDB lacks) are rows-only.
+  * Every operator carries a DuckDB oracle (integer/rounded outputs only —
+  * no raw double comparisons). The hash-based sketches (MinHash, SimHash,
+  * fingerprints) run on [[graft.functions.PortableHash]] — a 31-bit modular
+  * hash family both engines compute exactly — instead of xxhash64, which
+  * DuckDB lacks and which demoted them to rows-only checks in round 1.
   */
 object TextOps {
 
@@ -17,17 +19,6 @@ object TextOps {
     s.read.parquet(s"$dir/documents.parquet")
 
   private val toks: Column = split(col("text"), " ")
-
-  /** word 3-gram shingles — high-cardinality dedup unit for the tiny synthetic
-    * vocabulary (whole-token Jaccard would degenerate: every doc shares 'the').
-    */
-  private def shingled(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), toks.as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
-        .as("sh"))
-      .distinct()
 
   /** Exact dedup on a normalized key (first-5-token prefix): keeper = min id.
     * The hash-groupBy exact-dedup shape — one shuffle on the key.
@@ -41,14 +32,29 @@ object TextOps {
       .select(col("keeper"), col("n"))
       .orderBy(col("keeper"))
 
-  /** n-gram Jaccard near-dup pairs: shingle self-join (equi-join on shingle —
-    * shuffle-joinable; no O(n²) scan), exact J = |∩| / |∪| as x1000 integer.
+  /** Max document frequency of a shingle before it is treated as a
+    * stop-phrase and excluded (numerator AND denominator, both engines).
+    * A shingle shared by ~everything makes the self-join quadratic — the
+    * classic hot-key blowup; a stop-phrase also carries no dedup signal.
+    * 64 is > every df in the test corpora (semantics unchanged at test SF);
+    * the guard is for the 10^9-doc corpus where "click here to" has df 10^7.
+    */
+  private val HotShingleDf = 64
+
+  /** n-gram Jaccard near-dup pairs over distinct shingle HASHES: equi-join on
+    * an 8-byte key (no shingle strings in the shuffle), hot-shingle df-cap
+    * before the join (no quadratic hot keys), exact J = |∩|/|∪| as x1000.
+    * The oracle computes the identical hash, so parity is by construction.
     */
   def q21NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(docs(s, dir)).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+    val sh = shingleHashes(docs(s, dir)).cache()
+    // hot set is tiny by construction (few stop-phrases) — broadcast anti-join
+    val hot = sh.groupBy(col("shh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > HotShingleDf).select(col("shh"))
+    val kept = sh.join(broadcast(hot), Seq("shh"), "left_anti")
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     pairs
@@ -61,19 +67,58 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** MinHash + LSH banding: 8 minhash permutations via xxhash64(shingle, seed),
-    * 4 bands × 2 rows; band-equality join yields candidates, verified by the
-    * banding collision count. Rows-only (DuckDB lacks xxhash64). The scale
-    * path for dedup — candidate generation is an equi-join on band signature.
+  import graft.functions.PortableHash.{M => HM}
+  import graft.functions.{PortableHash => PH}
+
+  /** Distinct 31-bit shingle hashes per doc: tokens are char-hashed ONCE,
+    * each word-3-gram is then 4 integer ops ([[PH.shingle3]]) — no shingle
+    * strings are ever materialized or shuffled (8-byte keys downstream).
+    */
+  private def shingleHashes(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        transform(filter(split(col("text"), " "), t => t =!= ""),
+          t => PH.poly(t)).as("th"))
+      .filter(size(col("th")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("th")) - 3),
+        i => PH.shingle3(
+          element_at(col("th"), i + 1),
+          element_at(col("th"), i + 2),
+          element_at(col("th"), i + 3)))).as("shh"))
+      .distinct()
+
+  /** DuckDB twin of [[shingleHashes]] as a CTE body (named `shh`). */
+  private def shingleHashesSql: String =
+    s"""th AS (
+          SELECT doc_id,
+            list_transform([t for t in string_split(text,' ') if t <> ''],
+                           t -> ${PH.polySql("t")}) AS th
+          FROM documents),
+        shh AS (
+          SELECT DISTINCT doc_id,
+            ${PH.shingle3Sql("th[i]", "th[i+1]", "th[i+2]")} AS shh
+          FROM th CROSS JOIN generate_series(1, 8192) AS g(i)
+          WHERE len(th) >= 3 AND i + 2 <= len(th))"""
+
+  private val MinhashPerms = 128
+  private val MinhashRowsPerBand = 4
+  private val MinhashBands = MinhashPerms / MinhashRowsPerBand // 32
+
+  /** MinHash + LSH banding — the text-dedup scale path. 128 permutations
+    * (affine mixes of the portable shingle hash, [[PH.mix]]), 32 bands × 4
+    * rows ⇒ candidate threshold (1/32)^(1/4) ≈ 0.42 Jaccard. Candidate
+    * generation is an equi-join on the band signature — shuffle-joinable at
+    * any scale, no all-pairs scan. Output: candidate pairs + colliding-band
+    * count. Fully DuckDB-oracled (round 1 was rows-only via xxhash64).
     */
   def q22MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(docs(s, dir))
-    val seeds = (0 until 8).map(i =>
-      min(xxhash64(concat(col("sh"), lit(s"#$i")))).as(s"mh$i"))
-    val sigs = sh.groupBy(col("doc_id")).agg(seeds.head, seeds.tail: _*)
+    val shh = shingleHashes(docs(s, dir))
+    val perms = (0 until MinhashPerms).map(i => min(PH.mix(col("shh"), i)).as(s"mh$i"))
+    val sigs = shh.groupBy(col("doc_id")).agg(perms.head, perms.tail: _*)
     val bands = sigs.select(col("doc_id"), posexplode(array(
-      (0 until 4).map(b => concat_ws(":", lit(b.toString),
-        col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)).as(Seq("band", "sig")))
+      (0 until MinhashBands).map(b => concat_ws(":",
+        (0 until MinhashRowsPerBand).map(r => col(s"mh${MinhashRowsPerBand * b + r}")): _*)): _*))
+      .as(Seq("band", "sig")))
     bands.as("a").join(bands.as("b"),
         col("a.sig") === col("b.sig") && col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -86,23 +131,28 @@ object TextOps {
     * 8×8-bit band join + exact `bit_count(xor) ≤ 3` (the classic 64-bit
     * simhash near-dup threshold; 8 bands make candidate generation COMPLETE
     * for any hamming ≤ 7 by pigeonhole — a looser threshold would silently
-    * miss pairs that differ in every band). Rows-only (xxhash64).
+    * miss pairs that differ in every band). Bit b of a token's vote vector is
+    * bit 15 of the b-th affine mix of the portable token hash — 64 derived
+    * bits from one char-level pass, DuckDB-oracled (round 1: rows-only).
     */
   def q23Simhash(s: SparkSession, dir: String): DataFrame = {
     val tokenHash = docs(s, dir)
       .select(col("doc_id"), explode(toks).as("tok"))
       .filter(col("tok") =!= "")
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", PH.poly(col("tok")))
     // per-bit votes (+1 set / -1 clear per token occurrence) as 64 aggregate
     // columns in ONE map-side-combinable groupBy — no 64× row explosion, no
     // second shuffle (was: posexplode to (doc, bit, vote) rows + two aggs)
     val voteCols = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-        .as(s"v$b"))
+      sum(when(shiftright(PH.mix(col("h"), b), 15).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$b"))
     val votes = tokenHash.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    // bitwiseOR, not sum: the bit-63 term is Long.MinValue, which a sum-based
+    // fold would have to overflow into (DuckDB raises on BIGINT overflow)
     val sig = votes.select(col("doc_id"),
       (0 until 64).map(b =>
-        when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _).as("simhash"))
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ bitwiseOR _)
+        .as("simhash"))
     val banded = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 8).map(b =>
         shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)).as(Seq("band", "bv")))
@@ -110,7 +160,7 @@ object TextOps {
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 3) // before distinct: shrink the dedup input
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
@@ -165,12 +215,14 @@ object TextOps {
         length(col("text")).cast("long").as("len"))
       .orderBy(col("doc_id"))
 
-  /** Document fingerprint: bottom-4 sketch of shingle hashes (winnowing-style
-    * content signature). Rows-only (xxhash64).
+  /** Document fingerprint: bottom-4 sketch of (mixed) shingle hashes
+    * (winnowing-style content signature). The collect_list group is bounded
+    * by shingles-per-doc (≈ doc length), not corpus size, so no unbounded
+    * state. DuckDB-oracled (round 1: rows-only).
     */
   def q27Fingerprint(s: SparkSession, dir: String): DataFrame =
-    shingled(docs(s, dir))
-      .withColumn("h", xxhash64(col("sh")))
+    shingleHashes(docs(s, dir))
+      .withColumn("h", PH.mix(col("shh"), 7))
       .groupBy(col("doc_id"))
       .agg(slice(sort_array(collect_list(col("h"))), 1, 4).as("bottom4"))
       .select(col("doc_id"), concat_ws(",", col("bottom4").cast("array<string>")).as("fp"))
@@ -184,16 +236,14 @@ object TextOps {
            FROM documents GROUP BY 1)
          WHERE n > 1 ORDER BY keeper""",
     "q21_ngram_jaccard" ->
-      """WITH sh AS (
-           SELECT DISTINCT doc_id,
-             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-           FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)
-           CROSS JOIN generate_series(1, 4096) AS g(i)
-           WHERE len(t) >= 3 AND i + 2 <= len(t)),
-         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      s"""WITH $shingleHashesSql,
+         dfreq AS (SELECT shh, COUNT(*) AS df FROM shh GROUP BY 1),
+         kept AS (SELECT s.doc_id, s.shh FROM shh s JOIN dfreq USING (shh)
+                  WHERE df <= $HotShingleDf),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY 1),
          pairs AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           FROM kept a JOIN kept b ON a.shh = b.shh AND a.doc_id < b.doc_id
            GROUP BY 1,2)
          SELECT doc_a, doc_b,
            CAST(ROUND(1000.0 * common / (sa.sz + sb.sz - common)) AS BIGINT) AS jac_x1000
@@ -201,6 +251,50 @@ object TextOps {
                     JOIN sizes sb ON sb.doc_id = doc_b
          WHERE CAST(ROUND(1000.0 * common / (sa.sz + sb.sz - common)) AS BIGINT) >= 200
          ORDER BY doc_a, doc_b""",
+    "q22_minhash_lsh" ->
+      s"""WITH $shingleHashesSql,
+         mh AS (
+           SELECT doc_id, p, MIN(${graft.functions.PortableHash.mixSql("shh", "p")}) AS mh
+           FROM shh CROSS JOIN generate_series(0, ${MinhashPerms - 1}) AS pp(p)
+           GROUP BY 1, 2),
+         bands AS (
+           SELECT doc_id, p // $MinhashRowsPerBand AS band,
+                  string_agg(mh::VARCHAR, ':' ORDER BY p) AS sig
+           FROM mh GROUP BY 1, 2)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q23_simhash" ->
+      s"""WITH tok AS (
+           SELECT doc_id, unnest([t for t in string_split(text, ' ') if t <> '']) AS tok
+           FROM documents),
+         th AS (SELECT doc_id, ${graft.functions.PortableHash.polySql("tok")} AS h FROM tok),
+         votes AS (
+           SELECT doc_id, b,
+             SUM(CASE WHEN ((${graft.functions.PortableHash.mixSql("h", "b")}) >> 15) & 1 = 1
+                 THEN 1 ELSE -1 END) AS v
+           FROM th CROSS JOIN generate_series(0, 63) AS bb(b) GROUP BY 1, 2),
+         sig AS (
+           SELECT doc_id, bit_or(CASE WHEN v > 0 THEN
+               (CASE WHEN b = 63 THEN -9223372036854775808 ELSE (1::BIGINT << b) END)
+             ELSE 0 END) AS simhash
+           FROM votes GROUP BY 1),
+         banded AS (
+           SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bv
+           FROM sig CROSS JOIN generate_series(0, 7) AS g(band))
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         ORDER BY doc_a, doc_b""",
+    "q27_fingerprint" ->
+      s"""WITH $shingleHashesSql,
+         mixed AS (SELECT doc_id, ${graft.functions.PortableHash.mixSql("shh", "7")} AS h FROM shh)
+         SELECT doc_id,
+           array_to_string(list_sort(list(h))[1:4], ',') AS fp
+         FROM mixed GROUP BY doc_id ORDER BY doc_id""",
     "q24_lang_id" ->
       """WITH f AS (
            SELECT doc_id, lang,

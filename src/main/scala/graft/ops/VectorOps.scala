@@ -27,40 +27,54 @@ object VectorOps {
   /** Embedding-cosine near-duplicate pairs (brute-force; the LSH-bucketed
     * variant below is the scale path). Output: pair ids + cosine ×10⁴.
     */
+  /** Rows per broadcast block in [[q30CosineNearDup]]: bounds driver+executor
+    * memory per pass regardless of table size (64-dim floats ⇒ ~70 MB/block).
+    */
+  private val CosineBlockRows = 250000L
+
   def q30CosineNearDup(s: SparkSession, dir: String): DataFrame = {
-    // Block-nested all-pairs: broadcast one (normalized, primitive-array)
-    // side, stream the other through mapPartitions with tight float loops.
-    // This is the shape that scales — at 10^9 vectors the broadcast side
-    // becomes per-chunk (outer loop over broadcast blocks) and each executor
-    // still runs the same primitive kernel. A naive self-join carried the
-    // arrays through UnsafeRow→boxed-Seq conversion per pair: ~12 s for 125k
-    // pairs vs ~0.1 s for this kernel at sf0.01.
+    // Block-nested all-pairs: the broadcast side is CHUNKED — an outer loop
+    // over K driver-bounded blocks (block k = rows with vec_id % K == k),
+    // each collected, normalized, broadcast, and streamed against the full
+    // table with tight primitive-float loops. Driver and executors hold one
+    // block at a time, so the kernel works at any table size (K grows with
+    // the data; each pass is a full scan — the unavoidable cost of EXACT
+    // all-pairs; the LSH variant q32 is the sub-linear path). Round 1
+    // collected the WHOLE table to the driver — correct at sf0.1, dead at
+    // scale. A naive self-join carried the arrays through UnsafeRow→boxed-Seq
+    // conversion per pair: ~12 s for 125k pairs vs ~0.1 s for this kernel.
     import s.implicits._
     val rows = emb(s, dir).select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    val side = rows.collect().sortBy(_._1)
-      .map { case (id, a) =>
-        var n = 0.0; var i = 0
-        while (i < a.length) { n += a(i).toDouble * a(i); i += 1 }
-        (id, a, math.sqrt(n))
-      }
-    val bc = s.sparkContext.broadcast(side)
-    rows.mapPartitions { it =>
-      val all = bc.value
-      it.flatMap { case (ida, a) =>
-        var na = 0.0; var i = 0
-        while (i < a.length) { na += a(i).toDouble * a(i); i += 1 }
-        val nA = math.sqrt(na)
-        all.iterator.filter(_._1 > ida).flatMap { case (idb, b, nB) =>
-          var d = 0.0; var j = 0
-          val n = math.min(a.length, b.length)
-          while (j < n) { d += a(j).toDouble * b(j); j += 1 }
-          val cos = d / (nA * nB)
-          if (cos >= 0.35) Some((ida, idb, math.round(cos * 10000))) else None
+    val total = rows.count()
+    val nBlocks = math.max(1L, (total + CosineBlockRows - 1) / CosineBlockRows).toInt
+    val blocks = (0 until nBlocks).map { k =>
+      val side = rows.filter(col("vec_id") % nBlocks === k)
+        .collect().sortBy(_._1)
+        .map { case (id, a) =>
+          var n = 0.0; var i = 0
+          while (i < a.length) { n += a(i).toDouble * a(i); i += 1 }
+          (id, a, math.sqrt(n))
         }
-      }
-    }.toDF("vec_a", "vec_b", "cos_x10000")
-      .orderBy(col("vec_a"), col("vec_b"))
+      val bc = s.sparkContext.broadcast(side)
+      val part = rows.mapPartitions { it =>
+        val blk = bc.value
+        it.flatMap { case (ida, a) =>
+          var na = 0.0; var i = 0
+          while (i < a.length) { na += a(i).toDouble * a(i); i += 1 }
+          val nA = math.sqrt(na)
+          blk.iterator.filter(_._1 > ida).flatMap { case (idb, b, nB) =>
+            var d = 0.0; var j = 0
+            val n = math.min(a.length, b.length)
+            while (j < n) { d += a(j).toDouble * b(j); j += 1 }
+            val cos = d / (nA * nB)
+            if (cos >= 0.35) Some((ida, idb, math.round(cos * 10000))) else None
+          }
+        }
+      }.toDF("vec_a", "vec_b", "cos_x10000")
+      part
+    }
+    blocks.reduce(_ unionByName _).orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** Brute-force cosine top-k for one query vector (vec_id = 0) — the exact
@@ -152,7 +166,40 @@ object VectorOps {
          SELECT d.vec_id,
            CAST(ROUND(10000.0 * d / (nn * (SELECT nn FROM nrm WHERE vec_id = 0))) AS BIGINT) AS cos_x10000
          FROM dots d JOIN nrm ON nrm.vec_id = d.vec_id
-         ORDER BY cos_x10000 DESC, d.vec_id ASC LIMIT 10""")
+         ORDER BY cos_x10000 DESC, d.vec_id ASC LIMIT 10""",
+    "q32_ann_lsh" ->
+      """WITH ex AS (
+           SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, generate_series(1, 64) AS g(i)),
+         proj AS (
+           SELECT vec_id, j, SUM(x * (((((i-1)*31 + j*17) % 7) - 3))) AS p
+           FROM ex CROSS JOIN generate_series(0, 7) AS jj(j) GROUP BY 1, 2),
+         bucket AS (
+           SELECT vec_id, CAST(SUM(CASE WHEN p >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+           FROM proj GROUP BY 1),
+         nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nn FROM ex GROUP BY 1),
+         cand AS (
+           SELECT b.vec_id, b.bucket FROM bucket b
+           WHERE b.bucket = (SELECT bucket FROM bucket WHERE vec_id = 0)
+             AND b.vec_id <> 0),
+         dots AS (
+           SELECT e.vec_id, SUM(e.x * qe.x) AS d
+           FROM ex e JOIN ex qe ON e.i = qe.i AND qe.vec_id = 0
+           WHERE e.vec_id IN (SELECT vec_id FROM cand) GROUP BY 1)
+         SELECT c.vec_id, c.bucket,
+           CAST(ROUND(10000.0 * d / (nrm.nn * (SELECT nn FROM nrm WHERE vec_id = 0))) AS BIGINT) AS cos_x10000
+         FROM cand c JOIN dots ON dots.vec_id = c.vec_id JOIN nrm ON nrm.vec_id = c.vec_id
+         ORDER BY cos_x10000 DESC, c.vec_id ASC LIMIT 10""",
+    "q33_centroids" ->
+      """WITH ex AS (
+           SELECT label, vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, generate_series(1, 64) AS g(i)),
+         c AS (
+           SELECT label, i, SUM(x) / COUNT(*) AS c, COUNT(*) AS cnt
+           FROM ex GROUP BY 1, 2)
+         SELECT label, CAST(ROUND(sqrt(SUM(c*c)) * 1000) AS BIGINT) AS centroid_norm_x1000,
+                MAX(cnt) AS n_vectors
+         FROM c GROUP BY 1 ORDER BY 1""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_cosine_near_dup" -> q30CosineNearDup _,

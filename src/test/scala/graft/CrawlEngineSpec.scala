@@ -91,6 +91,31 @@ class CrawlEngineSpec extends SparkSpec {
     assert(!eng.step())
   }
 
+  test("forced distributed plans: same items (incl. phash suppression), stats, dead letters") {
+    // driverCollectMaxRows = 0 → banded near-dup suppression join, windowed
+    // winners, flag joins, wave anti-join — must reproduce the driver path
+    // bit-for-bit (same keys, same per-job stats, same dead letters)
+    val dirA = tmpDir("engine-dist")
+    val a = new CrawlEngine(spark, routes, fetcher, Nil,
+      EngineConfig(statePath = dirA, hostBudget = 2,
+        bloomPartitions = 4, bloomCapacityPerShard = 1 << 16,
+        driverCollectMaxRows = 0L))
+    a.seed(SyntheticCorpus.seeds(spec))
+    a.run()
+    val dirB = tmpDir("engine-driver")
+    val b = newEngine(dirB)
+    b.seed(SyntheticCorpus.seeds(spec))
+    b.run()
+    val ia = a.items.collect().map(i => (i.key, i.image_id, i.phash, i.caption)).sortBy(_._1)
+    val ib = b.items.collect().map(i => (i.key, i.image_id, i.phash, i.caption)).sortBy(_._1)
+    assert(ia.sameElements(ib), "distributed-path items differ from driver path")
+    val fa = a.frontier.collect().map(j => (j.urlKey, j.stats, j.state.finished)).sortBy(_._1)
+    val fb = b.frontier.collect().map(j => (j.urlKey, j.stats, j.state.finished)).sortBy(_._1)
+    assert(fa.sameElements(fb), "distributed-path frontier/stats differ from driver path")
+    assert(a.deadLetters.collect().map(_.urlKey).sorted
+      .sameElements(b.deadLetters.collect().map(_.urlKey).sorted))
+  }
+
   test("kill after step k → resume → identical final state") {
     val specSmall = spec
     val dirA = tmpDir("engine-killed")

@@ -18,11 +18,12 @@ class OracleParitySpec extends SparkSpec {
   lazy val fetcher = new CorpusFetcher(SyntheticCorpus.buildLocal(spec))
   lazy val routes = SiteRoutes.registry(spec)
 
-  def runBoth(robots: Seq[RobotsRule]): (CrawlEngine, NestOracle) = {
+  def runBoth(robots: Seq[RobotsRule],
+      tweak: EngineConfig => EngineConfig = identity): (CrawlEngine, NestOracle) = {
     val eng = new CrawlEngine(spark, routes, fetcher, robots,
-      EngineConfig(statePath = tmpDir("parity"), hostBudget = budget,
+      tweak(EngineConfig(statePath = tmpDir("parity"), hostBudget = budget,
         phashThreshold = -1, bloomPartitions = 4,
-        bloomCapacityPerShard = 1 << 16))
+        bloomCapacityPerShard = 1 << 16)))
     eng.seed(SyntheticCorpus.seeds(spec))
     eng.run()
     val oracle = new NestOracle(routes, fetcher, robots, budget)
@@ -73,6 +74,23 @@ class OracleParitySpec extends SparkSpec {
 
   test("ordering + seen-set + items + stats parity, no robots") {
     val (eng, oracle) = runBoth(Nil)
+    assertParity(eng, oracle)
+  }
+
+  test("parity holds on the forced fully-distributed superstep plans") {
+    // driverCollectMaxRows = 0 forces every size-switched path (wave rewrite,
+    // item suppression/flags/delta, spawn dedup) onto the distributed twin —
+    // the plans a 10^6-host wave would take. Identical results required.
+    val (eng, oracle) = runBoth(Nil, _.copy(driverCollectMaxRows = 0L))
+    assertParity(eng, oracle)
+  }
+
+  test("parity holds under robots block + crawl delay, distributed plans") {
+    val robots = Seq(
+      RobotsRule("h0.test", "/img/", allow = false, 0),
+      RobotsRule("h1.test", "/", allow = true, 2),
+      RobotsRule("h2.test", "/img/1", allow = false, 0))
+    val (eng, oracle) = runBoth(robots, _.copy(driverCollectMaxRows = 0L))
     assertParity(eng, oracle)
   }
 
