@@ -42,7 +42,9 @@ object SiteRoutes {
     onError = (status, _) =>
       if (status >= 500) ErrorAction.Retry else ErrorAction.Stop,
     concurrency = concurrency,
-    priority = 60)
+    priority = 60,
+    test = Some(RouteTest(query = Map("host" -> "h0.test"),
+      shouldSpawnJobs = true)))
 
   /** detail: image page → one ImageItem. Caption arrives in page.meta (the
     * synthetic stand-in for surrounding HTML); phash recomputed from the
@@ -78,10 +80,44 @@ object SiteRoutes {
     onError = (status, _) =>
       if (status >= 500) ErrorAction.Retry else ErrorAction.Stop,
     concurrency = concurrency,
-    priority = 50)
+    priority = 50,
+    test = Some(RouteTest(query = Map("url" -> "http://h0.test/img/0"),
+      shouldCreateItems = true)))
 
   def registry(spec: CorpusSpec, listingConcurrency: Int = 1,
       detailConcurrency: Int = 4): Map[String, RouteSpec] =
     Seq(listing(spec, listingConcurrency), detail(spec, detailConcurrency))
       .map(r => r.key -> r).toMap
+
+  /** Query-templated variant of the registry — the reference's primary
+    * enqueue surface (`nest.queue(routeKey, {query})`, nest.js:86-97;
+    * spawned ops `{routeId, query}`, worker.js:281-292): the listing spawns
+    * detail jobs by (host, id) QUERY params instead of URLs, and the detail
+    * route builds its URL from the template. Crawl results must be
+    * identical to [[registry]]'s URL-driven run (same final URLs).
+    */
+  def queryRegistry(spec: CorpusSpec, listingConcurrency: Int = 1,
+      detailConcurrency: Int = 4): Map[String, RouteSpec] = {
+    val base = listing(spec, listingConcurrency)
+    val qListing = base.copy(
+      scraper = page => {
+        if (page.status != 200) ScrapeResult()
+        else {
+          val root = mapper.readTree(page.bodyString)
+          val links = (0 until root.path("links").size())
+            .map(i => root.path("links").get(i).asText())
+          val jobs = links.map { l =>
+            val id = l.substring(l.lastIndexOf('/') + 1)
+            SpawnedJob(SyntheticCorpus.DETAIL, url = "",
+              query = Map("host" -> page.host, "id" -> id))
+          }
+          ScrapeResult(jobs = jobs,
+            hasNextPage = root.path("hasNext").asBoolean(false),
+            state = Map("lastListing" -> page.url))
+        }
+      })
+    val qDetail = detail(spec, detailConcurrency).copy(
+      urlTemplate = q => s"http://${q("host")}/img/${q("id")}")
+    Seq(qListing, qDetail).map(r => r.key -> r).toMap
+  }
 }

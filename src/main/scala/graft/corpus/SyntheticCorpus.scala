@@ -123,4 +123,10 @@ object SyntheticCorpus {
   /** Seed jobs: page-1 listing of every host. */
   def seeds(spec: CorpusSpec): Seq[(String, String)] =
     (0 until spec.hosts).map(h => LISTING -> spec.listUrl(h, 1))
+
+  /** The same seeds as query params for the listing urlTemplate — the
+    * `nest.queue(routeKey, {query})` surface.
+    */
+  def seedQueries(spec: CorpusSpec): Seq[(String, Map[String, String])] =
+    (0 until spec.hosts).map(h => LISTING -> Map("host" -> spec.hostName(h)))
 }

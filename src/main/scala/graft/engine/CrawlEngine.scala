@@ -30,7 +30,26 @@ case class DeadLetter(urlKey: Long, url: String, host: String, routeId: String,
 case class FetchLog(step: Int, host: String, urlKey: Long, url: String,
     routeId: String, page: Int, status: Int, priority: Int, createdStep: Int,
     action: String, errorCount: Int, spawnCount: Int,
-    itemsCreated: Long, itemsUpdated: Long)
+    itemsCreated: Long, itemsUpdated: Long,
+    /** job terminated this fetch (last page, dead-letter, or redirect) —
+      * the reference's `job:finish` event bit (worker.js:137-142). */
+    finished: Boolean)
+
+object CrawlEngine {
+  /** Event fan-out surface — the reference's emitter chain
+    * (src/emitter.js:53-63; worker events `job:start/finish` etc.,
+    * src/worker.js:95-161) re-expressed batch-wise: after every committed
+    * superstep, listeners receive that step's fetch log as a typed Dataset
+    * (filter `finished`/`action`/`itemsCreated` for the per-job events).
+    * Runs on the driver between supersteps; a throwing listener fails the
+    * crawl like a throwing reference handler. The Dataset is backed by the
+    * superstep's in-memory checkpoint and must be consumed INSIDE the
+    * callback (collect/write/aggregate), not retained.
+    */
+  trait StepListener {
+    def onStepCommitted(step: Int, stepLog: Dataset[FetchLog]): Unit
+  }
+}
 
 case class EngineConfig(
     statePath: String,
@@ -74,6 +93,9 @@ case class EngineConfig(
     aqeInSteps: Boolean = false,
     /** probe the seen-set via broadcast sketches while total size fits. */
     bloomBroadcastMaxBytes: Long = 256L << 20,
+    /** route every fetch through the dynamic fetcher — the reference's
+      * FORCE_DYNAMIC env switch (spider.js:21,52). */
+    forceDynamic: Boolean = false,
     /** Max rows a superstep may collect to the driver (wave keys, item
       * summaries, spawn candidates). The driver-resident plans cut ~10 Spark
       * jobs per superstep while the politeness envelope (hosts × budget ×
@@ -110,11 +132,27 @@ final class CrawlEngine(
     routes: Map[String, RouteSpec],
     fetcher: Fetcher,
     robotsRules: Seq[RobotsRule],
-    cfg: EngineConfig) {
+    cfg: EngineConfig,
+    hooks: WorkerHooks = WorkerHooks(),
+    listeners: Seq[CrawlEngine.StepListener] = Nil) {
 
   import spark.implicits._
 
   private val store = new SnapshotStore(cfg.statePath)
+
+  /** Run two independent Spark actions on concurrent threads and await both
+    * (failures propagate). Superstep writes have no mutual dependencies, so
+    * their planning/scheduling/IO latencies overlap instead of chaining.
+    */
+  private def inParallel(a: () => Unit, b: () => Unit): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(a())
+    val fb = Future(b())
+    Await.result(fa, Duration.Inf)
+    Await.result(fb, Duration.Inf)
+  }
 
   /** Driver-side cache of the bloom shards (version → shards), valid only on
     * the broadcast-probe path. Skips the per-superstep parquet read+collect:
@@ -140,6 +178,7 @@ final class CrawlEngine(
 
   private val routesBc = spark.sparkContext.broadcast(routes)
   private val fetcherBc = spark.sparkContext.broadcast(fetcher)
+  private val hooksBc = spark.sparkContext.broadcast(hooks)
   private val routeCaps: Map[String, Int] = routes.map { case (k, r) => k -> r.concurrency }
   private val hostDelay: Map[String, Int] = Robots.delayByHost(robotsRules)
 
@@ -264,11 +303,28 @@ final class CrawlEngine(
   // ---- seeding --------------------------------------------------------
 
   /** Initialize snapshot v0 from seed (routeId, url) pairs — the analogue of
-    * `nest.queue(...)` (reference: src/nest.js:86-97): canonicalize, dedup,
-    * robots-filter, land as the v0 frontier.
+    * `nest.queue(routeKey, url)` (reference: src/nest.js:86-97):
+    * canonicalize, dedup, robots-filter, land as the v0 frontier.
     */
-  def seed(seeds: Seq[(String, String)]): Unit = withEngineConf {
-    val seedJobs = seeds.toDF("routeId", "rawUrl")
+  def seed(seeds: Seq[(String, String)]): Unit =
+    seedResolved(seeds.map { case (r, u) => (r, u, Map.empty[String, String]) })
+
+  /** Query-parameterized enqueue — the reference's PRIMARY seeding surface
+    * `nest.queue(routeKey, {query})` (src/nest.js:86-97): the job's URL is
+    * built from the route's template over the query params
+    * (`route.getUrl(job)`, src/route.js:31-37). Identity is
+    * xxhash64(canonical(built url)), exactly like raw-URL seeds.
+    */
+  def seedQueries(seeds: Seq[(String, Map[String, String])]): Unit =
+    seedResolved(seeds.map { case (r, q) =>
+      val route = routes.getOrElse(r,
+        throw new IllegalArgumentException(s"Route $r does not exist"))
+      (r, route.urlTemplate(q), q)
+    })
+
+  private def seedResolved(seeds: Seq[(String, String, Map[String, String])]): Unit =
+    withEngineConf {
+    val seedJobs = seeds.toDF("routeId", "rawUrl", "query")
       .withColumn("url", graft.canon.CanonUdfs.canon_url(col("rawUrl")))
       .withColumn("host", graft.canon.CanonUdfs.url_host(col("url")))
       .withColumn("urlKey", xxhash64(col("url")))
@@ -282,9 +338,10 @@ final class CrawlEngine(
     val jobs = allowedSeeds
       .withColumn("priority", coalesce(element_at(prioByRoute, col("routeId")), lit(50)))
       .select(col("urlKey").as("_1"), col("url").as("_2"), col("host").as("_3"),
-        col("routeId").as("_4"), col("priority").cast("int").as("_5"))
-      .as[(Long, String, String, String, Int)]
-      .map { case (k, u, h, r, p) => CrawlJob(k, u, h, r, priority = p) }
+        col("routeId").as("_4"), col("priority").cast("int").as("_5"),
+        col("query").as("_6"))
+      .as[(Long, String, String, String, Int, Map[String, String])]
+      .map { case (k, u, h, r, p, q) => CrawlJob(k, u, h, r, priority = p, query = q) }
 
     val jobsP = jobs.persist(StorageLevel.MEMORY_AND_DISK)
     val n = jobsP.count()
@@ -318,7 +375,7 @@ final class CrawlEngine(
     // the whole superstep tree — catalyst planning time was ~half of each
     // superstep's wall clock before this (measured via SparkListener).
     var wave = Politeness.wave(front, s, cfg.hostBudget, routeCaps,
-        cfg.disabledRoutes, cfg.saltBuckets)
+        cfg.disabledRoutes, cfg.saltBuckets, hooks.jobFilter)
       .localCheckpoint(true)
     // The count (cheap scan of the checkpointed wave) sizes the superstep:
     // waves under driverCollectMaxRows run the driver-resident plans (wave
@@ -342,7 +399,7 @@ final class CrawlEngine(
       if (nxt <= s) return false // safety: no forward progress possible
       s = nxt
       wave = Politeness.wave(front, s, cfg.hostBudget, routeCaps,
-          cfg.disabledRoutes, cfg.saltBuckets)
+          cfg.disabledRoutes, cfg.saltBuckets, hooks.jobFilter)
         .localCheckpoint(true)
       waveN = wave.count()
       if (waveN == 0) { wave.unpersist(); return false }
@@ -357,16 +414,24 @@ final class CrawlEngine(
     val waveFetch = wave.repartition(
       spark.sessionState.conf.numShufflePartitions,
       col("host"), pmod(col("urlKey"), lit(cfg.fetchSplits)))
-    val outcomes = FetchStage.run(waveFetch, routesBc, fetcherBc)
+    val outcomes = FetchStage.run(waveFetch, routesBc, fetcherBc, hooksBc,
+        cfg.forceDynamic)
       .localCheckpoint(true)
 
-    // -- sizing probe: one cheap agg over the checkpointed outcomes decides
-    // driver-resident vs distributed plans for the item and spawn paths
-    val sizeRow = outcomes.agg(
-      coalesce(sum(size(col("items"))), lit(0L)),
-      coalesce(sum(size(col("spawned"))), lit(0L))).head()
-    val nIncomingItems = sizeRow.getLong(0)
-    val nSpawnedUpper = sizeRow.getLong(1)
+    // -- sizing probe: decides driver-resident vs distributed plans for the
+    // item and spawn paths. Waves at least 1024× under the threshold skip
+    // the probe job: breaching from there would need >1024 items or links
+    // per page ON AVERAGE — far outside any sane scrape, and the threshold
+    // is a driver-memory guard with ample headroom, not an exact budget.
+    // Larger waves pay one cheap agg over the checkpointed outcomes.
+    val (nIncomingItems, nSpawnedUpper) =
+      if (waveN <= cfg.driverCollectMaxRows / 1024) (0L, 0L)
+      else {
+        val sizeRow = outcomes.agg(
+          coalesce(sum(size(col("items"))), lit(0L)),
+          coalesce(sum(size(col("spawned"))), lit(0L))).head()
+        (sizeRow.getLong(0), sizeRow.getLong(1))
+      }
     val itemsOnDriver = nIncomingItems <= cfg.driverCollectMaxRows
 
     // -- items path (append-only deltas; merge-on-read) ------------------
@@ -485,14 +550,29 @@ final class CrawlEngine(
     // -- spawned-jobs path (byte-free projections of the checkpoint) ------
     val spawnedPart = outcomes
       .select(explode(col("spawned")).as("sj"))
-      .select(col("sj.routeId").as("routeId"), col("sj.url").as("rawUrl"))
+      .select(col("sj.routeId").as("routeId"), col("sj.url").as("rawUrl"),
+        col("sj.query").as("query"))
     val redirectPart = outcomes
       .filter(col("action").startsWith("redirect:"))
       .select(col("job.routeId").as("routeId"),
-        expr(s"substring(action, ${"redirect:".length + 1})").as("rawUrl"))
+        expr(s"substring(action, ${"redirect:".length + 1})").as("rawUrl"),
+        typedLit(Map.empty[String, String]).as("query"))
     val spawnedRaw = spawnedPart.unionByName(redirectPart)
     val known = spawnedRaw.filter(col("routeId").isin(routes.keys.toSeq: _*))
-    val canonical = known
+    // query-templated spawns (url empty, query set): build the URL through
+    // the route's template — reference `route.getUrl(job)` over the spawned
+    // op's query (worker.js:281-292, route.js:31-37). A throwing template
+    // drops the job (the reference fails it; a queryable drop is kinder).
+    val routesForResolve = routesBc
+    val resolveUrl = udf((rid: String, u: String, q: Map[String, String]) =>
+      if (u != null && u.nonEmpty) u
+      else try routesForResolve.value(rid).urlTemplate(
+        Option(q).getOrElse(Map.empty))
+      catch { case _: Exception => "" })
+    val resolved = known
+      .withColumn("rawUrl", resolveUrl(col("routeId"), col("rawUrl"), col("query")))
+      .filter(col("rawUrl") =!= "")
+    val canonical = resolved
       .withColumn("url", graft.canon.CanonUdfs.canon_url(col("rawUrl")))
       .withColumn("host", graft.canon.CanonUdfs.url_host(col("url")))
       .withColumn("urlKey", xxhash64(col("url")))
@@ -500,8 +580,10 @@ final class CrawlEngine(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("urlKey")).orderBy(col("routeId"))))
       .filter(col("rn") === 1).drop("rn", "rawUrl")
-    val allowedJobs = Robots.allowed(canonical, robotsRules)
-      .localCheckpoint(true)
+    // checkpointed lazily: the driver-resident branch consumes this plan
+    // with ONE collect, so materializing it first would only add a job
+    val allowedJobsPlan = Robots.allowed(canonical, robotsRules)
+    var allowedJobsCkpt: Option[DataFrame] = None
 
     val sketchBytes = cfg.bloomPartitions *
       BloomSeen.estimatedShardBytes(cfg.bloomCapacityPerShard, cfg.bloomFpp)
@@ -520,20 +602,28 @@ final class CrawlEngine(
     def toJobs(df: DataFrame): Dataset[CrawlJob] = df
       .withColumn("priority", coalesce(element_at(prioByRoute, col("routeId")), lit(50)))
       .select(col("urlKey").as("_1"), col("url").as("_2"), col("host").as("_3"),
-        col("routeId").as("_4"), col("priority").cast("int").as("_5"))
-      .as[(Long, String, String, String, Int)]
-      .map { case (k, u, h, r, p) =>
-        CrawlJob(k, u, h, r, priority = p,
+        col("routeId").as("_4"), col("priority").cast("int").as("_5"),
+        col("query").as("_6"))
+      .as[(Long, String, String, String, Int, Map[String, String])]
+      .map { case (k, u, h, r, p, q) =>
+        CrawlJob(k, u, h, r, priority = p, query = q,
           createdStep = stepNow + 1, notBeforeStep = stepNow + 1)
       }
     // (fresh rows, their keys when driver-resident)
     val (fresh: Dataset[CrawlJob], freshKeysLocal: Option[Array[Long]]) =
       shardsLocal match {
         case Some(shards) =>
-          // Candidate keys after dedup are ≤ what the previous plan shipped
-          // via broadcast(probed) — collecting them is the same envelope,
-          // minus four broadcast-exchange jobs per superstep.
-          val candKeys = allowedJobs.select(col("urlKey")).as[Long].collect()
+          // ONE collect serves probe + fresh-job construction: candidates
+          // after dedup are spawn-bounded (guarded by driverCollectMaxRows)
+          // and byte-free — the same envelope the previous plan shipped via
+          // broadcast(probed), minus a checkpoint job, a key collect, and a
+          // re-scan per superstep.
+          val cand = allowedJobsPlan
+            .select(col("urlKey"), col("url"), col("host"), col("routeId"),
+              col("query"))
+            .as[(Long, String, String, String, Map[String, String])]
+            .collect()
+          val candKeys = cand.map(_._1)
           val might = BloomSeen.probeLocal(shards, candKeys, cfg.bloomPartitions)
           val posSet = candKeys.iterator.zip(might.iterator)
             .collect { case (k, true) => k }.toSet
@@ -549,13 +639,18 @@ final class CrawlEngine(
               front.select(col("urlKey")).filter(inPos(col("urlKey")))
                 .as[Long].collect().toSet
             }
-          val freshKeys = candKeys.filter(k => !posSet(k) || !confirmedSeen(k))
-          val freshSorted = freshKeys.sorted
-          val freshBc = spark.sparkContext.broadcast(freshSorted)
-          val isFresh = udf((k: Long) =>
-            java.util.Arrays.binarySearch(freshBc.value, k) >= 0)
-          (toJobs(allowedJobs.filter(isFresh(col("urlKey")))), Some(freshKeys))
+          val freshKeySet = candKeys.iterator
+            .filter(k => !posSet(k) || !confirmedSeen(k)).toSet
+          val freshJobs = cand.iterator.filter(c => freshKeySet(c._1))
+            .map { case (k, u, h, r, q) =>
+              CrawlJob(k, u, h, r,
+                priority = routes.get(r).map(_.priority).getOrElse(50),
+                query = q, createdStep = stepNow + 1, notBeforeStep = stepNow + 1)
+            }.toSeq
+          (spark.createDataset(freshJobs), Some(freshKeySet.toArray))
         case None =>
+          val allowedJobs = allowedJobsPlan.localCheckpoint(true)
+          allowedJobsCkpt = Some(allowedJobs)
           val bloom = readBloom(v)
           val probed = BloomSeen.probe(bloom,
               allowedJobs.select(col("urlKey")).as[Long], cfg.bloomPartitions)
@@ -685,10 +780,11 @@ final class CrawlEngine(
     }
 
     // -- fetch log (single observability write; see FetchLog scaladoc) ----
-    val stepFetchLog = metaFlagged.map { case (job, status, action, _, _, nSpawned, created, updated) =>
+    val stepFetchLog = metaFlagged.map { case (job, status, action, hasNext, _, nSpawned, created, updated) =>
       FetchLog(stepNow, job.host, job.urlKey, job.url, job.routeId,
         job.state.currentPage, status, job.priority, job.createdStep,
-        action, job.errorCount, nSpawned, created, updated)
+        action, job.errorCount, nSpawned, created, updated,
+        finished = action != "retry" && !(action == "ok" && hasNext))
     }.toDF()
 
     // -- append-only writes (invisible until the snapshot commit below) ---
@@ -699,20 +795,34 @@ final class CrawlEngine(
     // uncompressed: the payload column is already PNG/JPEG-compressed, so
     // parquet snappy only burns CPU on bytes it cannot shrink (the small
     // metadata columns still dictionary/RLE-encode regardless)
-    delta.write.mode("overwrite").option("compression", "uncompressed")
-      .parquet(s"$deltaDir/step=$stepNow")
-    stepFetchLog.drop("step").coalesce(1).write.mode("overwrite")
-      .parquet(s"${logDir("fetchlog")}/step=$stepNow")
+    // The two append writes are independent plans over the same checkpoint —
+    // submitted from two threads so planning + scheduling + small-file IO
+    // overlap (a superstep's flat driver cost is the scaling-efficiency
+    // ceiling; Spark job submission is thread-safe by design). Same inside
+    // the commit below for frontier ∥ bloom.
+    inParallel(
+      () => delta.write.mode("overwrite").option("compression", "uncompressed")
+        .parquet(s"$deltaDir/step=$stepNow"),
+      () => stepFetchLog.drop("step").coalesce(1).write.mode("overwrite")
+        .parquet(s"${logDir("fetchlog")}/step=$stepNow"))
 
     // -- commit: only resume-critical state is versioned ------------------
     store.commit(v + 1, SnapshotStore.manifestJson(
       "version" -> (v + 1), "step" -> stepNow, "fetched" -> waveN)) { dir =>
-      frontier3.write.parquet(s"$dir/frontier")
-      bloom2.write.parquet(s"$dir/bloom")
+      inParallel(
+        () => frontier3.write.parquet(s"$dir/frontier"),
+        () => bloom2.write.parquet(s"$dir/bloom"))
     }
     store.expire(v + 1 - cfg.retainSnapshots + 1)
 
-    Seq(wave, outcomes, allowedJobs, fresh).foreach(_.unpersist())
+    // -- event fan-out (after commit, before the checkpoints are released) -
+    if (listeners.nonEmpty) {
+      val stepLog = stepFetchLog.as[FetchLog]
+      listeners.foreach(_.onStepCommitted(stepNow, stepLog))
+    }
+
+    Seq(wave, outcomes, fresh).foreach(_.unpersist())
+    allowedJobsCkpt.foreach(_.unpersist())
     winnersCkpt.foreach(_.unpersist())
     true
   }

@@ -36,32 +36,50 @@ object FetchStage {
   def run(
       wave: Dataset[CrawlJob],
       routes: Broadcast[Map[String, RouteSpec]],
-      fetcher: Broadcast[Fetcher]): Dataset[StepOutcome] = {
+      fetcher: Broadcast[Fetcher],
+      hooks: Broadcast[WorkerHooks],
+      forceDynamic: Boolean = false): Dataset[StepOutcome] = {
     val spark = wave.sparkSession
     import spark.implicits._
     wave.mapPartitions { jobs =>
       val reg = routes.value
       val f = fetcher.value
+      val hk = hooks.value
+      // worker.initialize: once per fetch task, before its first job
+      // (reference: src/worker.js:57-65); lazily so empty partitions skip it
+      lazy val initialized = { hk.initialize.foreach(_.apply()); true }
       jobs.map { job =>
+        require(initialized)
         reg.get(job.routeId) match {
           case None =>
             // unknown route: reference warns + skips (worker.js:284-287)
             StepOutcome(job, -1, "stop", Nil, Nil, hasNextPage = false, Map.empty)
           case Some(route) =>
-            val effUrl = route.paginate(job.url, job.state.currentPage)
-            val page = f.fetch(effUrl, job.errorCount)
-            val status = route.checkStatus(page)
-            if (status >= 400) {
-              val action = route.onError(status, job.errorCount) match {
-                case ErrorAction.Retry if job.errorCount < route.retryCount => "retry"
-                case ErrorAction.Redirect(u) => s"redirect:$u"
-                case _ => "stop"
-              }
-              StepOutcome(job, status, action, Nil, Nil, hasNextPage = false, Map.empty)
-            } else {
-              val scraped = sanitize(route.scraper(page), job.routeId)
-              StepOutcome(job, status, "ok", scraped.items, scraped.jobs,
-                scraped.hasNextPage, scraped.state)
+            // custom process bypasses fetch+scrape (worker.js:195-199)
+            hk.process.flatMap(p => p(job)) match {
+              case Some(res) =>
+                val scraped = sanitize(res, job.routeId)
+                StepOutcome(job, 200, "ok", scraped.items, scraped.jobs,
+                  scraped.hasNextPage, scraped.state)
+              case None =>
+                val effUrl = route.paginate(job.url, job.state.currentPage)
+                // static vs dynamic dispatch (reference spider.js:52,185)
+                val page =
+                  if (route.dynamic || forceDynamic) f.fetchDynamic(effUrl, job.errorCount)
+                  else f.fetch(effUrl, job.errorCount)
+                val status = route.checkStatus(page)
+                if (status >= 400) {
+                  val action = route.onError(status, job.errorCount) match {
+                    case ErrorAction.Retry if job.errorCount < route.retryCount => "retry"
+                    case ErrorAction.Redirect(u) => s"redirect:$u"
+                    case _ => "stop"
+                  }
+                  StepOutcome(job, status, action, Nil, Nil, hasNextPage = false, Map.empty)
+                } else {
+                  val scraped = sanitize(route.scraper(page), job.routeId)
+                  StepOutcome(job, status, "ok", scraped.items, scraped.jobs,
+                    scraped.hasNextPage, scraped.state)
+                }
             }
         }
       }
@@ -75,7 +93,8 @@ object FetchStage {
     * deliberately for item parity with the reference.
     */
   def sanitize(r: ScrapeResult, routeId: String): ScrapeResult = {
-    val jobs = r.jobs.filter(j => j.routeId != null && j.routeId.nonEmpty && j.url != null && j.url.nonEmpty)
+    val jobs = r.jobs.filter(j => j.routeId != null && j.routeId.nonEmpty &&
+      ((j.url != null && j.url.nonEmpty) || j.query.nonEmpty))
     val items = r.items.map { it =>
       it.copy(
         key = Option(it.key).map(_.trim.toLowerCase).getOrElse(""),

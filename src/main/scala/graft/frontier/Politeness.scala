@@ -40,13 +40,18 @@ object Politeness {
       hostBudget: Int,
       routeCaps: Map[String, Int],
       disabled: Set[String] = Set.empty,
-      saltBuckets: Int = 16): Dataset[CrawlJob] = {
+      saltBuckets: Int = 16,
+      jobFilter: Option[CrawlJob => Boolean] = None): Dataset[CrawlJob] = {
     val spark = frontier.sparkSession
     import spark.implicits._
 
-    val eligible = frontier
+    val preFiltered = frontier
       .filter(!col("state.finished") && col("notBeforeStep") <= lit(step))
       .filter(if (disabled.isEmpty) lit(true) else !col("routeId").isin(disabled.toSeq: _*))
+    // worker.getJobQuery analogue (reference: src/nest.js:142-166): an extra
+    // user predicate on dequeue eligibility. Typed (deserializing) filter —
+    // applied only when present, after the codegen'd filters above prune.
+    val eligible = jobFilter.fold(preFiltered)(f => preFiltered.filter(f))
 
     // Phase 1 — salted per-route pre-top-k (see scaladoc).
     val salted = Window

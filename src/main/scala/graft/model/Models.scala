@@ -48,7 +48,14 @@ case class CrawlJob(
     errorCount: Int = 0,
     notBeforeStep: Int = 0,
     stats: JobStats = JobStats(),
-    state: JobState = JobState())
+    state: JobState = JobState(),
+    /** URL-template parameters this job was enqueued with (the reference's
+      * `job.query`, queue.js:18; URL built via `route.getUrl(job)`,
+      * route.js:31-37). The engine resolves the template at ENQUEUE time —
+      * `url` is always concrete — so identity stays xxhash64(canon(url))
+      * and the frontier never re-runs user code per fetch.
+      */
+    query: Map[String, String] = Map.empty)
 
 /** A landed item (reference: src/db/item.js + BASELINE input_hint payload).
   * Core columns mirror the reference's fixed schema; the image payload is the
@@ -93,7 +100,12 @@ case class FetchedPage(
 /** One scraper invocation's output (reference: src/spider.js:290-334 —
   * `{items, jobs, hasNextPage, state}` with defaults at spider.js:296-300).
   */
-case class SpawnedJob(routeId: String, url: String)
+/** A job emitted by a scraper: either a concrete `url`, or `query` params
+  * resolved through the target route's `urlTemplate` (the reference's
+  * spawned op shape `{routeId, query}`, worker.js:281-292).
+  */
+case class SpawnedJob(routeId: String, url: String,
+    query: Map[String, String] = Map.empty)
 case class ScrapeResult(
     items: Seq[ImageItem] = Nil,
     jobs: Seq[SpawnedJob] = Nil,
@@ -109,6 +121,16 @@ case class ScrapeResult(
   * supersteps between successive pages of one job (route.js:59 ms → logical
   * steps); `retryCount` default 3 (spider.js:23).
   */
+/** Per-route self-test declaration (reference: `route.test =
+  * {query, shouldSpawnJobs, shouldCreateItems}`, route.js:53; harness
+  * test/routes.js:68-97 — positive-only assertions). Driven by
+  * [[graft.testkit.RouteHarness]].
+  */
+case class RouteTest(
+    query: Map[String, String] = Map.empty,
+    shouldSpawnJobs: Boolean = false,
+    shouldCreateItems: Boolean = false)
+
 case class RouteSpec(
     key: String,
     urlTemplate: Map[String, String] => String,
@@ -123,7 +145,34 @@ case class RouteSpec(
     concurrency: Int = -1,
     transitionDelay: Int = 0,
     retryCount: Int = 3,
-    priority: Int = 50)
+    priority: Int = 50,
+    test: Option[RouteTest] = None,
+    /** fetch pages with the dynamic (headless-browser) fetcher — the
+      * reference's `route.dynamic` (spider.js:52,185). */
+    dynamic: Boolean = false)
+
+/** Engine-level worker hooks (reference: src/worker.js + src/nest.js).
+  * All run inside fetch tasks / the scheduler — pure Scala functions shipped
+  * by broadcast, no driver round-trips.
+  */
+case class WorkerHooks(
+    /** Per-fetch-task setup, run once before a task's first job — the
+      * worker's `initialize` (reference: src/worker.js:57-65; the
+      * `shouldReinitialize`-on-route-change variant, worker.js:145-155, has
+      * no analogue because our tasks are route-heterogeneous by design).
+      */
+    initialize: Option[() => Unit] = None,
+    /** Extra dequeue predicate ANDed into wave eligibility — the worker's
+      * `getJobQuery` extra query constraints (reference: src/nest.js:142-166).
+      * Jobs failing it stay in the frontier, undequeued.
+      */
+    jobFilter: Option[CrawlJob => Boolean] = None,
+    /** Replaces fetch+scrape wholesale for matching jobs — the worker's
+      * custom `process(job, route)` (reference: src/worker.js:195-199).
+      * Returning None falls through to the normal fetch path for that job.
+      * Output still passes sanitize, exactly like a scraped result.
+      */
+    process: Option[CrawlJob => Option[ScrapeResult]] = None)
 
 sealed trait ErrorAction
 object ErrorAction {

@@ -26,13 +26,24 @@ final class NestOracle(
     robotsRules: Seq[RobotsRule],
     hostBudget: Int,
     retryBackoffSteps: Int = 1,
-    disabledRoutes: Set[String] = Set.empty) {
+    disabledRoutes: Set[String] = Set.empty,
+    hooks: WorkerHooks = WorkerHooks()) {
 
   private case class OJob(
       urlKey: Long, url: String, host: String, routeId: String, priority: Int,
       createdStep: Int, var errorCount: Int = 0, var notBeforeStep: Int = 0,
       var currentPage: Int = 1, var finished: Boolean = false,
-      var pages: Int = 0, var spawned: Int = 0)
+      var pages: Int = 0, var spawned: Int = 0,
+      query: Map[String, String] = Map.empty)
+
+  /** Snapshot of an OJob in the engine's job shape — what user hooks see. */
+  private def toCrawlJob(j: OJob): CrawlJob =
+    CrawlJob(j.urlKey, j.url, j.host, j.routeId, priority = j.priority,
+      createdStep = j.createdStep, errorCount = j.errorCount,
+      notBeforeStep = j.notBeforeStep,
+      stats = JobStats(pages = j.pages, spawned = j.spawned),
+      state = JobState(currentPage = j.currentPage, finished = j.finished),
+      query = j.query)
 
   private val frontier = mutable.LinkedHashMap.empty[Long, OJob]
   private val itemKeys = mutable.LinkedHashSet.empty[String]
@@ -53,7 +64,8 @@ final class NestOracle(
     }
   }
 
-  private def enqueue(routeId: String, rawUrl: String, step: Int): Unit = {
+  private def enqueue(routeId: String, rawUrl: String, step: Int,
+      query: Map[String, String] = Map.empty): Unit = {
     if (!routes.contains(routeId)) return
     val url = UrlCanon.canonicalize(rawUrl)
     val key = CanonUdfs.urlKeyScala(url)
@@ -61,11 +73,25 @@ final class NestOracle(
     val host = UrlCanon.host(url)
     if (!robotsAllowed(url, host)) return
     frontier(key) = OJob(key, url, host, routeId, routes(routeId).priority,
-      createdStep = step, notBeforeStep = math.max(step, 0))
+      createdStep = step, notBeforeStep = math.max(step, 0), query = query)
   }
 
   def seed(seeds: Seq[(String, String)]): Unit =
     seeds.foreach { case (r, u) => enqueue(r, u, 0) }
+
+  /** Query-parameterized enqueue — mirrors [[graft.engine.CrawlEngine.seedQueries]]
+    * (reference: nest.queue(routeKey, {query}), src/nest.js:86-97).
+    */
+  def seedQueries(seeds: Seq[(String, Map[String, String])]): Unit =
+    seeds.foreach { case (r, q) =>
+      routes.get(r).foreach(rt => enqueue(r, rt.urlTemplate(q), 0, q))
+    }
+
+  /** URL of a spawned job: concrete url, or the route template over query. */
+  private def resolveSpawn(sj: SpawnedJob): Option[String] =
+    if (sj.url != null && sj.url.nonEmpty) Some(sj.url)
+    else routes.get(sj.routeId).flatMap(rt =>
+      try Some(rt.urlTemplate(sj.query)) catch { case _: Exception => None })
 
   /** Run to completion (or maxSteps); superstep semantics identical to
     * [[graft.engine.CrawlEngine.step]].
@@ -92,6 +118,7 @@ final class NestOracle(
   private def runStep(s: Int): Boolean = {
     val eligible = frontier.values
       .filter(j => !j.finished && j.notBeforeStep <= s && !disabledRoutes(j.routeId))
+      .filter(j => hooks.jobFilter.forall(_(toCrawlJob(j))))
       .toSeq
     if (eligible.isEmpty) return false
 
@@ -125,6 +152,22 @@ final class NestOracle(
     dequeueLog.getOrElseUpdate(j.host, mutable.ArrayBuffer.empty) +=
       ((s, j.url, j.currentPage))
     val route = routes(j.routeId)
+    // custom worker.process bypass (reference: src/worker.js:195-199)
+    hooks.process.flatMap(p => p(toCrawlJob(j))) match {
+      case Some(res) =>
+        val scraped = graft.fetch.FetchStage.sanitize(res, j.routeId)
+        j.pages += 1
+        j.spawned += scraped.jobs.size
+        scraped.items.foreach(it => itemKeys += it.key)
+        scraped.jobs.foreach(sj =>
+          resolveSpawn(sj).foreach(u => enqueue(sj.routeId, u, s + 1, sj.query)))
+        if (scraped.hasNextPage) {
+          j.currentPage += 1
+          j.notBeforeStep = s + 1 + route.transitionDelay
+        } else j.finished = true
+        return
+      case None =>
+    }
     val effUrl = route.paginate(j.url, j.currentPage)
     val page = fetcher.fetch(effUrl, j.errorCount)
     val status = route.checkStatus(page)
@@ -142,7 +185,8 @@ final class NestOracle(
       j.pages += 1
       j.spawned += scraped.jobs.size
       scraped.items.foreach(it => itemKeys += it.key)
-      scraped.jobs.foreach(sj => enqueue(sj.routeId, sj.url, s + 1))
+      scraped.jobs.foreach(sj =>
+        resolveSpawn(sj).foreach(u => enqueue(sj.routeId, u, s + 1, sj.query)))
       if (scraped.hasNextPage) {
         j.currentPage += 1
         j.notBeforeStep = s + 1 + route.transitionDelay
