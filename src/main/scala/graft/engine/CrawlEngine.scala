@@ -96,6 +96,14 @@ case class EngineConfig(
     /** route every fetch through the dynamic fetcher — the reference's
       * FORCE_DYNAMIC env switch (spider.js:21,52). */
     forceDynamic: Boolean = false,
+    /** fetch-stage tasks = shuffle partitions × this factor. Page costs are
+      * heavy-tailed (encode/decode varies with format and content), so at
+      * exactly one task per core a single slow task sets the stage's wall
+      * clock; 4 smaller tasks per core let the scheduler rebalance the tail.
+      * The exchanged rows are byte-free, so the extra partitions cost only
+      * task launches.
+      */
+    fetchTaskFactor: Int = 4,
     /** Max rows a superstep may collect to the driver (wave keys, item
       * summaries, spawn candidates). The driver-resident plans cut ~10 Spark
       * jobs per superstep while the politeness envelope (hosts × budget ×
@@ -144,15 +152,26 @@ final class CrawlEngine(
     * (failures propagate). Superstep writes have no mutual dependencies, so
     * their planning/scheduling/IO latencies overlap instead of chaining.
     */
-  private def inParallel(a: () => Unit, b: () => Unit): Unit = {
+  private def inParallel(fs: (() => Unit)*): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val fa = Future(a())
-    val fb = Future(b())
-    Await.result(fa, Duration.Inf)
-    Await.result(fb, Duration.Inf)
+    fs.map(f => Future(f())).foreach(Await.result(_, Duration.Inf))
   }
+
+  /** Per-superstep phase timing (env GRAFT_STEP_TIMING=1) — tuning aid for
+    * the flat driver cost that bounds N→4N scaling efficiency. Off by
+    * default; zero overhead beyond one branch when off.
+    */
+  private val stepTiming = sys.env.get("GRAFT_STEP_TIMING").contains("1")
+  private def timed[T](name: String)(f: => T): T =
+    if (!stepTiming) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stepTiming] $name%-14s ${(System.nanoTime() - t0) / 1e6}%7.0f ms")
+      r
+    }
 
   /** Driver-side cache of the bloom shards (version → shards), valid only on
     * the broadcast-probe path. Skips the per-superstep parquet read+collect:
@@ -374,16 +393,17 @@ final class CrawlEngine(
     // every downstream action analyzes a shallow scan instead of re-planning
     // the whole superstep tree — catalyst planning time was ~half of each
     // superstep's wall clock before this (measured via SparkListener).
-    var wave = Politeness.wave(front, s, cfg.hostBudget, routeCaps,
+    var wave = timed("wave.ckpt")(
+      Politeness.wave(front, s, cfg.hostBudget, routeCaps,
         cfg.disabledRoutes, cfg.saltBuckets, hooks.jobFilter)
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     // The count (cheap scan of the checkpointed wave) sizes the superstep:
     // waves under driverCollectMaxRows run the driver-resident plans (wave
     // keys, item summaries, spawn candidates live driver-side — the exact
     // politeness envelope the broadcast anti-joins shipped to every executor
     // anyway, ~10 fewer Spark jobs per superstep); larger waves fall back to
     // the retained fully-distributed plans.
-    var waveN = wave.count()
+    var waveN = timed("wave.count")(wave.count())
     if (waveN == 0) {
       // Nothing eligible *now*, but retry-backoff / crawl-delay jobs may be
       // waiting on a future step — jump the clock to the earliest one (the
@@ -412,11 +432,11 @@ final class CrawlEngine(
     // .fetchSplits): cheap exchange of byte-free rows, caps the placement
     // tail that otherwise sets the fetch stage's wall clock.
     val waveFetch = wave.repartition(
-      spark.sessionState.conf.numShufflePartitions,
+      spark.sessionState.conf.numShufflePartitions * cfg.fetchTaskFactor,
       col("host"), pmod(col("urlKey"), lit(cfg.fetchSplits)))
-    val outcomes = FetchStage.run(waveFetch, routesBc, fetcherBc, hooksBc,
-        cfg.forceDynamic)
-      .localCheckpoint(true)
+    val outcomes = timed("fetch")(
+      FetchStage.run(waveFetch, routesBc, fetcherBc, hooksBc, cfg.forceDynamic)
+        .localCheckpoint(true))
 
     // -- sizing probe: decides driver-resident vs distributed plans for the
     // item and spawn paths. Waves at least 1024× under the threshold skip
@@ -424,14 +444,14 @@ final class CrawlEngine(
     // per page ON AVERAGE — far outside any sane scrape, and the threshold
     // is a driver-memory guard with ample headroom, not an exact budget.
     // Larger waves pay one cheap agg over the checkpointed outcomes.
-    val (nIncomingItems, nSpawnedUpper) =
+    val (nIncomingItems, nSpawnedUpper) = timed("probe")(
       if (waveN <= cfg.driverCollectMaxRows / 1024) (0L, 0L)
       else {
         val sizeRow = outcomes.agg(
           coalesce(sum(size(col("items"))), lit(0L)),
           coalesce(sum(size(col("spawned"))), lit(0L))).head()
         (sizeRow.getLong(0), sizeRow.getLong(1))
-      }
+      })
     val itemsOnDriver = nIncomingItems <= cfg.driverCollectMaxRows
 
     // -- items path (append-only deltas; merge-on-read) ------------------
@@ -460,7 +480,7 @@ final class CrawlEngine(
     // (srcJob, created, updated))
     val (delta: Dataset[ImageItem],
          flags: Either[Map[Long, (Long, Long)], DataFrame],
-         winnersCkpt: Option[DataFrame]) =
+         winnersCkpt: Option[DataFrame]) = timed("items")(
       if (itemsOnDriver) {
         val itemTups = itemMetaDf
           .as[(Long, String, String, Long)]
@@ -545,7 +565,7 @@ final class CrawlEngine(
           .withColumn("createdStep", lit(stepNow))
           .as[ImageItem]
         (d, Right(flagDf), Some(winnersDf))
-      }
+      })
 
     // -- spawned-jobs path (byte-free projections of the checkpoint) ------
     val spawnedPart = outcomes
@@ -611,7 +631,7 @@ final class CrawlEngine(
       }
     // (fresh rows, their keys when driver-resident)
     val (fresh: Dataset[CrawlJob], freshKeysLocal: Option[Array[Long]]) =
-      shardsLocal match {
+      timed("spawn")(shardsLocal match {
         case Some(shards) =>
           // ONE collect serves probe + fresh-job construction: candidates
           // after dedup are spawn-bounded (guarded by driverCollectMaxRows)
@@ -668,7 +688,7 @@ final class CrawlEngine(
           val f = toJobs(definitelyNew.unionByName(confirmedNew)).localCheckpoint(true)
           probed.unpersist()
           (f, None)
-      }
+      })
 
     // -- job-state updates ----------------------------------------------
     // locals only in executor closures — capturing fields would serialize `this`
@@ -795,24 +815,24 @@ final class CrawlEngine(
     // uncompressed: the payload column is already PNG/JPEG-compressed, so
     // parquet snappy only burns CPU on bytes it cannot shrink (the small
     // metadata columns still dictionary/RLE-encode regardless)
-    // The two append writes are independent plans over the same checkpoint —
-    // submitted from two threads so planning + scheduling + small-file IO
-    // overlap (a superstep's flat driver cost is the scaling-efficiency
-    // ceiling; Spark job submission is thread-safe by design). Same inside
-    // the commit below for frontier ∥ bloom.
-    inParallel(
-      () => delta.write.mode("overwrite").option("compression", "uncompressed")
-        .parquet(s"$deltaDir/step=$stepNow"),
-      () => stepFetchLog.drop("step").coalesce(1).write.mode("overwrite")
-        .parquet(s"${logDir("fetchlog")}/step=$stepNow"))
-
-    // -- commit: only resume-critical state is versioned ------------------
-    store.commit(v + 1, SnapshotStore.manifestJson(
+    // All four superstep writes (delta, fetch log, frontier, bloom) are
+    // independent plans over already-checkpointed inputs — submitted from
+    // four threads so planning + scheduling + small-file IO overlap (a
+    // superstep's flat driver cost is the scaling-efficiency ceiling; Spark
+    // job submission is thread-safe by design). Atomicity is unchanged:
+    // nothing is visible until the manifest rename below, and stale
+    // delta/log step dirs from a failed commit are swept by cleanStale on
+    // the next step/resume.
+    timed("commit")(store.commit(v + 1, SnapshotStore.manifestJson(
       "version" -> (v + 1), "step" -> stepNow, "fetched" -> waveN)) { dir =>
       inParallel(
+        () => delta.write.mode("overwrite").option("compression", "uncompressed")
+          .parquet(s"$deltaDir/step=$stepNow"),
+        () => stepFetchLog.drop("step").coalesce(1).write.mode("overwrite")
+          .parquet(s"${logDir("fetchlog")}/step=$stepNow"),
         () => frontier3.write.parquet(s"$dir/frontier"),
         () => bloom2.write.parquet(s"$dir/bloom"))
-    }
+    })
     store.expire(v + 1 - cfg.retainSnapshots + 1)
 
     // -- event fan-out (after commit, before the checkpoints are released) -
