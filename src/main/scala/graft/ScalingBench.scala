@@ -52,6 +52,10 @@ object ScalingBench {
       // partitioning constant.
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "false") // skew handled by salting; AQE job-splitting only adds superstep latency at this cadence
+      // FAIR so the engine's pipelined snapshot commit (own pool) shares
+      // task slots with the next superstep's wave+fetch; under FIFO the
+      // commit's jobs would hold every slot first, serializing the overlap
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", localDir)

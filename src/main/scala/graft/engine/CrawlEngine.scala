@@ -156,7 +156,14 @@ final class CrawlEngine(
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    fs.map(f => Future(f())).foreach(Await.result(_, Duration.Inf))
+    // propagate the calling thread's scheduler pool: jobs submitted from EC
+    // worker threads otherwise land in the default pool, where (FIFO) they
+    // would serialize against foreground superstep jobs
+    val pool = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+    fs.map(f => Future {
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+      f()
+    }).foreach(Await.result(_, Duration.Inf))
   }
 
   /** Per-superstep phase timing (env GRAFT_STEP_TIMING=1) — tuning aid for
@@ -179,6 +186,38 @@ final class CrawlEngine(
     * in a fresh engine simply misses the cache and reads the snapshot.
     */
   private var shardCache: Option[(Int, Array[BloomShard])] = None
+
+  // ---- pipelined commit ------------------------------------------------
+  // The snapshot commit is crash-resume IO, not a dataflow dependency: the
+  // next superstep plans entirely off in-memory checkpoints (frontier,
+  // item-meta, bloom shards below), so step s+1's wave+fetch overlaps step
+  // s's parquet writes instead of waiting on them. On a real cluster this
+  // hides the object-store commit latency behind the next wave. At most ONE
+  // commit is in flight; every DISK read of engine state awaits it first, so
+  // public accessors and cache-miss paths (resume, distributed fallbacks)
+  // always see the committed view. A background-commit failure surfaces at
+  // the next await (step, accessor, or run() end) and fails the crawl.
+
+  /** The previous superstep's commit, if still being written. */
+  private var commitInFlight: Option[scala.concurrent.Future[Unit]] = None
+  /** (version, step) of the latest ISSUED commit (possibly in flight) —
+    * the in-memory twin of `store.latestVersion`/`stepOf`. */
+  private var issuedState: Option[(Int, Int)] = None
+  /** version → eagerly-checkpointed frontier of that version: the next
+    * superstep's wave scans memory instead of re-reading the snapshot. */
+  private var frontierCache: Option[(Int, Dataset[CrawlJob])] = None
+  /** step → checkpointed (key, phash) of every item delta row up to step —
+    * feeds near-dup suppression + created/updated flags without re-scanning
+    * the delta dirs each superstep. Invalidated by [[compactItems]] (which
+    * switches suppression to live-set semantics). */
+  private var itemMetaCache: Option[(Int, DataFrame)] = None
+
+  private def awaitCommit(): Unit = commitInFlight.foreach { f =>
+    import scala.concurrent.Await
+    import scala.concurrent.duration.Duration
+    try Await.result(f, Duration.Inf)
+    finally commitInFlight = None
+  }
 
   /** Superstep-scoped session conf (restored after): see
     * [[EngineConfig.aqeInSteps]]. The fetch stage's parallelism is pinned by
@@ -212,10 +251,16 @@ final class CrawlEngine(
   private def dropStep(t: org.apache.spark.sql.types.StructType) =
     org.apache.spark.sql.types.StructType(t.filterNot(_.name == "step"))
 
-  private def readFrontier(v: Int): Dataset[CrawlJob] =
+  // every state read off DISK awaits the in-flight commit (see "pipelined
+  // commit" above) — files of the issued version may still be being written
+  private def readFrontier(v: Int): Dataset[CrawlJob] = {
+    awaitCommit()
     spark.read.schema(jobSchema).parquet(store.tablePath(v, "frontier")).as[CrawlJob]
-  private def readBloom(v: Int): Dataset[BloomShard] =
+  }
+  private def readBloom(v: Int): Dataset[BloomShard] = {
+    awaitCommit()
     spark.read.schema(shardSchema).parquet(store.tablePath(v, "bloom")).as[BloomShard]
+  }
 
   // Item deltas and observability logs are APPEND-ONLY side tables, written
   // once per superstep into step=N partition dirs and never rewritten
@@ -251,6 +296,7 @@ final class CrawlEngine(
   }
 
   private def readItemDeltas(upToStep: Int): Dataset[ImageItem] = {
+    awaitCommit()
     val b = latestBaseStep
     val base =
       if (b >= 0)
@@ -267,9 +313,11 @@ final class CrawlEngine(
     }
   }
 
-  private def readFetchLogUpTo(upToStep: Int): Dataset[FetchLog] =
+  private def readFetchLogUpTo(upToStep: Int): Dataset[FetchLog] = {
+    awaitCommit()
     readStepPartitioned(logDir("fetchlog"), upToStep, dropStep(fetchLogSchema))
       .map(_.as[FetchLog]).getOrElse(spark.emptyDataset[FetchLog])
+  }
 
   /** Remove step partitions newer than the committed step (left by a killed
     * run between delta write and snapshot commit).
@@ -286,7 +334,7 @@ final class CrawlEngine(
     }
   }
 
-  def currentVersion: Option[Int] = store.latestVersion
+  def currentVersion: Option[Int] = { awaitCommit(); store.latestVersion }
   def stepOf(v: Int): Int = {
     val m = store.manifest(v)
     """"step":(-?\d+)""".r.findFirstMatchIn(m).map(_.group(1).toInt)
@@ -343,6 +391,8 @@ final class CrawlEngine(
 
   private def seedResolved(seeds: Seq[(String, String, Map[String, String])]): Unit =
     withEngineConf {
+    awaitCommit()
+    issuedState = None; frontierCache = None; itemMetaCache = None; shardCache = None
     val seedJobs = seeds.toDF("routeId", "rawUrl", "query")
       .withColumn("url", graft.canon.CanonUdfs.canon_url(col("rawUrl")))
       .withColumn("host", graft.canon.CanonUdfs.url_host(col("url")))
@@ -382,13 +432,22 @@ final class CrawlEngine(
     * (reference: src/worker.js:108-110).
     */
   def step(): Boolean = withEngineConf {
-    val v = currentVersion.getOrElse(
-      throw new IllegalStateException("seed() first — no snapshot"))
-    val committed = stepOf(v)
+    // in-memory twin of the store's (version, step) — valid even while the
+    // previous commit is still in flight; a fresh/resumed engine reads disk
+    val (v, committed) = issuedState.getOrElse {
+      val v0 = currentVersion.getOrElse(
+        throw new IllegalStateException("seed() first — no snapshot"))
+      (v0, stepOf(v0))
+    }
     var s = committed + 1
+    // safe without awaiting the in-flight commit: it writes step=committed
+    // dirs, and cleanStale only removes step > committed
     Seq(deltaDir, logDir("fetchlog")).foreach(cleanStale(_, committed))
 
-    val front = readFrontier(v)
+    val front = frontierCache match {
+      case Some((`v`, f)) => f
+      case _ => readFrontier(v)
+    }
     // localCheckpoint (eager) on shared intermediates: truncates lineage so
     // every downstream action analyzes a shallow scan instead of re-planning
     // the whole superstep tree — catalyst planning time was ~half of each
@@ -467,7 +526,18 @@ final class CrawlEngine(
     // deserialize every StepOutcome INCLUDING the item image bytes; the
     // projections below keep every post-fetch pass byte-free except the one
     // delta write that actually lands the bytes.
-    val haveDeltas = new java.io.File(deltaDir).isDirectory
+    // (key, phash) of every existing item row — cache hit in steady state
+    // (maintained below each step); miss = resume / first step, one
+    // checkpointed read of the delta dirs (awaits any in-flight commit)
+    val existingMetaOpt: Option[DataFrame] = itemMetaCache match {
+      case Some((`committed`, df)) => Some(df)
+      case _ =>
+        awaitCommit()
+        if (new java.io.File(deltaDir).isDirectory || latestBaseStep >= 0)
+          Some(readItemDeltas(committed).select(col("key"), col("phash"))
+            .toDF().localCheckpoint(true))
+        else None
+    }
     val itemMetaDf = outcomes
       .select(col("job.urlKey").as("srcJob"), explode(expr(
         "transform(items, it -> named_struct(" +
@@ -477,26 +547,28 @@ final class CrawlEngine(
         col("it.phash").as("phash"))
 
     // (delta to append, per-src flags: Left = driver map, Right = DataFrame
-    // (srcJob, created, updated))
+    // (srcJob, created, updated), distributed-path winners checkpoint,
+    // this step's landed (key, phash) rows for the item-meta cache)
     val (delta: Dataset[ImageItem],
          flags: Either[Map[Long, (Long, Long)], DataFrame],
-         winnersCkpt: Option[DataFrame]) = timed("items")(
+         winnersCkpt: Option[DataFrame],
+         newMetaOpt: Option[DataFrame]) = timed("items")(
       if (itemsOnDriver) {
         val itemTups = itemMetaDf
           .as[(Long, String, String, Long)]
           .collect()
-        val existingDf =
-          if (haveDeltas && itemTups.nonEmpty)
-            Some(readItemDeltas(committed).select(col("key"), col("phash")).toDF())
-          else None
+        val existingDf = if (itemTups.nonEmpty) existingMetaOpt else None
         val (suppressedKeys, existedKeys) = Items.suppressAndSeenSets(
           itemTups, existingDf, cfg.phashThreshold)
         val keepTups = itemTups.filterNot { case (_, k, _, _) => suppressedKeys(k) }
         // one winner per key — lowest (srcJob, image_id), the same
         // deterministic pick the distributed ranking window makes
-        val winners: Map[String, (Long, String)] = keepTups.groupBy(_._2).map {
-          case (k, rows) => k -> rows.iterator.map(r => (r._1, r._3)).min
-        }
+        val winnersFull: Map[String, (Long, String, Long)] =
+          keepTups.groupBy(_._2).map {
+            case (k, rows) => k -> rows.iterator.map(r => (r._1, r._3, r._4)).min
+          }
+        val winners: Map[String, (Long, String)] =
+          winnersFull.view.mapValues(w => (w._1, w._2)).toMap
         val flagBySrc: Map[Long, (Long, Long)] = winners.groupBy(_._2._1).map {
           case (src, ws) =>
             val created = ws.count { case (k, _) => !existedKeys(k) }
@@ -512,13 +584,14 @@ final class CrawlEngine(
               emitted.add(it.key))
             .map(_.copy(createdStep = stepNow))
         }
-        (d, Left(flagBySrc), None)
+        val nm =
+          if (winnersFull.isEmpty) None
+          else Some(winnersFull.iterator.map { case (k, w) => (k, w._3) }.toSeq
+            .toDF("key", "phash"))
+        (d, Left(flagBySrc), None, nm)
       } else {
         // distributed twin — same outputs, no driver state
-        val existingDf =
-          if (haveDeltas)
-            Some(readItemDeltas(committed).select(col("key"), col("phash")).toDF())
-          else None
+        val existingDf = existingMetaOpt
         val suppressed = Items.suppressedKeyDf(
           itemMetaDf, existingDf, cfg.phashThreshold,
           broadcastIncoming = false)
@@ -526,10 +599,11 @@ final class CrawlEngine(
         val win = org.apache.spark.sql.expressions.Window
           .partitionBy(col("key"))
           .orderBy(col("srcJob").asc, col("image_id").asc)
-        // reused by the flag agg AND the delta semi-join → checkpoint once
+        // reused by the flag agg, the delta semi-join AND the item-meta
+        // cache update (key, phash) → checkpoint once
         val winnersDf = keptMeta
           .withColumn("rn", row_number().over(win))
-          .filter(col("rn") === 1).drop("rn", "phash")
+          .filter(col("rn") === 1).drop("rn")
           .localCheckpoint(true)
         val winnersFlagged = existingDf match {
           case Some(ex) => winnersDf.join(
@@ -564,8 +638,20 @@ final class CrawlEngine(
           .select(col("item.*"))
           .withColumn("createdStep", lit(stepNow))
           .as[ImageItem]
-        (d, Right(flagDf), Some(winnersDf))
+        (d, Right(flagDf), Some(winnersDf),
+          Some(winnersDf.select(col("key"), col("phash"))))
       })
+
+    // -- item-meta cache update (backs the next superstep's suppression) --
+    val (staleMeta: Option[DataFrame], mergedMeta: Option[DataFrame]) =
+      (existingMetaOpt, newMetaOpt) match {
+        case (Some(e), Some(n)) =>
+          (Some(e), Some(e.unionByName(n).localCheckpoint(true)))
+        case (Some(e), None) => (None, Some(e))
+        case (None, Some(n)) => (None, Some(n.localCheckpoint(true)))
+        case _ => (None, None)
+      }
+    itemMetaCache = mergedMeta.map((stepNow, _))
 
     // -- spawned-jobs path (byte-free projections of the checkpoint) ------
     val spawnedPart = outcomes
@@ -815,35 +901,76 @@ final class CrawlEngine(
     // uncompressed: the payload column is already PNG/JPEG-compressed, so
     // parquet snappy only burns CPU on bytes it cannot shrink (the small
     // metadata columns still dictionary/RLE-encode regardless)
+    // The next superstep's wave scans this checkpoint from memory; the
+    // background frontier write below reuses it (no recompute, no re-read
+    // of the snapshot). Byte-free rows — cheap to materialize.
+    val prevFrontCkpt: Option[Dataset[CrawlJob]] =
+      frontierCache.collect { case (`v`, f) => f }
+    val frontier3Ckpt = timed("front.ckpt")(frontier3.localCheckpoint(true))
+    frontierCache = Some((v + 1, frontier3Ckpt))
+
     // All four superstep writes (delta, fetch log, frontier, bloom) are
     // independent plans over already-checkpointed inputs — submitted from
-    // four threads so planning + scheduling + small-file IO overlap (a
-    // superstep's flat driver cost is the scaling-efficiency ceiling; Spark
+    // four threads so planning + scheduling + small-file IO overlap (Spark
     // job submission is thread-safe by design). Atomicity is unchanged:
-    // nothing is visible until the manifest rename below, and stale
-    // delta/log step dirs from a failed commit are swept by cleanStale on
-    // the next step/resume.
-    timed("commit")(store.commit(v + 1, SnapshotStore.manifestJson(
-      "version" -> (v + 1), "step" -> stepNow, "fetched" -> waveN)) { dir =>
-      inParallel(
-        () => delta.write.mode("overwrite").option("compression", "uncompressed")
-          .parquet(s"$deltaDir/step=$stepNow"),
-        () => stepFetchLog.drop("step").coalesce(1).write.mode("overwrite")
-          .parquet(s"${logDir("fetchlog")}/step=$stepNow"),
-        () => frontier3.write.parquet(s"$dir/frontier"),
-        () => bloom2.write.parquet(s"$dir/bloom"))
-    })
-    store.expire(v + 1 - cfg.retainSnapshots + 1)
-
-    // -- event fan-out (after commit, before the checkpoints are released) -
+    // nothing is visible until the manifest rename, and stale delta/log
+    // step dirs from a failed commit are swept by cleanStale on the next
+    // step/resume.
+    // The WHOLE commit is pipelined (see "pipelined commit" at the top):
+    // with no listeners it runs on a background thread, overlapping the
+    // next superstep's wave+fetch — a superstep's flat driver cost is the
+    // N→4N scaling-efficiency ceiling, and the commit was its largest
+    // term. step s+1 plans off the caches updated above; any disk read
+    // awaits. The previous commit (long since done — a whole superstep
+    // elapsed) is awaited before this one is issued, so commits are ordered
+    // and at most one is in flight.
+    timed("commit.await")(awaitCommit())
+    def commitWork(): Unit = {
+      store.commit(v + 1, SnapshotStore.manifestJson(
+        "version" -> (v + 1), "step" -> stepNow, "fetched" -> waveN)) { dir =>
+        inParallel(
+          () => delta.write.mode("overwrite").option("compression", "uncompressed")
+            .parquet(s"$deltaDir/step=$stepNow"),
+          () => stepFetchLog.drop("step").coalesce(1).write.mode("overwrite")
+            .parquet(s"${logDir("fetchlog")}/step=$stepNow"),
+          () => frontier3Ckpt.write.parquet(s"$dir/frontier"),
+          () => bloom2.write.parquet(s"$dir/bloom"))
+      }
+      store.expire(v + 1 - cfg.retainSnapshots + 1)
+    }
+    // released only after the writes that read them have finished
+    def releaseCheckpoints(): Unit = {
+      Seq(wave, outcomes, fresh).foreach(_.unpersist())
+      allowedJobsCkpt.foreach(_.unpersist())
+      winnersCkpt.foreach(_.unpersist())
+      prevFrontCkpt.foreach(_.unpersist())
+      staleMeta.foreach(_.unpersist())
+    }
+    issuedState = Some((v + 1, stepNow))
     if (listeners.nonEmpty) {
+      // listener contract: fan-out AFTER the commit, stepLog backed by the
+      // still-persisted outcome checkpoint — so commit synchronously
+      timed("commit")(commitWork())
       val stepLog = stepFetchLog.as[FetchLog]
       listeners.foreach(_.onStepCommitted(stepNow, stepLog))
+      releaseCheckpoints()
+    } else {
+      import scala.concurrent.ExecutionContext.Implicits.global
+      commitInFlight = Some(scala.concurrent.Future {
+        // own fair-scheduler pool: under spark.scheduler.mode=FAIR the
+        // commit's jobs share task slots with the next superstep's wave +
+        // fetch instead of queueing ahead of them (FIFO would hand the
+        // commit every slot first, serializing the "overlap"). Under the
+        // default FIFO mode this property is inert — the commit still runs,
+        // just without slot sharing. Benches/clusters should set FAIR.
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft-commit")
+        try {
+          timed("commit.bg")(commitWork())
+          releaseCheckpoints()
+        } finally
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      })
     }
-
-    Seq(wave, outcomes, fresh).foreach(_.unpersist())
-    allowedJobsCkpt.foreach(_.unpersist())
-    winnersCkpt.foreach(_.unpersist())
     true
   }
 
@@ -851,6 +978,7 @@ final class CrawlEngine(
   def run(): RunSummary = {
     var steps = 0
     while (steps < cfg.maxSteps && step()) steps += 1
+    awaitCommit() // land the final superstep's pipelined commit
     summary(steps)
   }
 
@@ -870,6 +998,11 @@ final class CrawlEngine(
     * live-set semantics; pre-compaction scans see all delta rows).
     */
   def compactItems(): Unit = withEngineConf {
+    awaitCommit()
+    // compaction switches suppression to live-set semantics (superseded
+    // versions no longer vote) — drop the all-delta-rows cache
+    itemMetaCache.foreach(_._2.unpersist())
+    itemMetaCache = None
     import java.nio.file.{Files, Paths, StandardCopyOption}
     def deleteRec(p: java.nio.file.Path): Unit =
       if (Files.exists(p)) {
@@ -899,9 +1032,20 @@ final class CrawlEngine(
     }
   }
 
-  private def summary(steps: Int): RunSummary = {
-    val m = metrics
-    val fetched = if (m.isEmpty) 0L else m.agg(sum(col("fetched"))).head.getLong(0)
-    RunSummary(steps, fetched, items.count(), deadLetters.count())
+  private def summary(steps: Int): RunSummary = timed("summary") {
+    // one pass over the fetch log (count == fetched: one row per fetch;
+    // dead letters are the stop+4xx/5xx rows) instead of two, and the item
+    // count off the in-memory meta cache when it is current — LWW-resolved
+    // count == distinct delta keys, no window over the full delta scan
+    val row = fetchLog.agg(
+      count(lit(1)),
+      coalesce(sum(when(col("status") >= 400 && col("action") === "stop", 1L)
+        .otherwise(0L)), lit(0L))).head()
+    val itemCount = itemMetaCache match {
+      case Some((step, df)) if issuedState.exists(_._2 == step) =>
+        df.select(col("key")).distinct().count()
+      case _ => items.count()
+    }
+    RunSummary(steps, row.getLong(0), itemCount, row.getLong(1))
   }
 }
