@@ -96,14 +96,18 @@ case class EngineConfig(
     /** route every fetch through the dynamic fetcher — the reference's
       * FORCE_DYNAMIC env switch (spider.js:21,52). */
     forceDynamic: Boolean = false,
-    /** fetch-stage tasks = shuffle partitions × this factor. Page costs are
-      * heavy-tailed (encode/decode varies with format and content), so at
-      * exactly one task per core a single slow task sets the stage's wall
-      * clock; 4 smaller tasks per core let the scheduler rebalance the tail.
-      * The exchanged rows are byte-free, so the extra partitions cost only
-      * task launches.
+    /** Cap on fetch-stage tasks, as a multiple of shuffle partitions. The
+      * actual task count adapts to the wave: ~[[fetchPagesPerTask]] pages
+      * per task, floored at the shuffle-partition count and capped at
+      * partitions × this factor. Page costs are heavy-tailed (encode/decode
+      * varies with format and content) and big waves otherwise run as few
+      * multi-second tasks whose last scheduling round idles most cores —
+      * measured ~20% of fetch wall at 51k pages on 64 tasks/16 cores. The
+      * exchanged rows are byte-free, so fine tasks cost only launches.
       */
-    fetchTaskFactor: Int = 4,
+    fetchTaskFactor: Int = 32,
+    /** Target pages per fetch task (see [[fetchTaskFactor]]). */
+    fetchPagesPerTask: Int = 128,
     /** Max rows a superstep may collect to the driver (wave keys, item
       * summaries, spawn candidates). The driver-resident plans cut ~10 Spark
       * jobs per superstep while the politeness envelope (hosts × budget ×
@@ -124,16 +128,22 @@ case class RunSummary(steps: Int, fetched: Long, items: Long, deadLettered: Long
   * Each superstep (one call to [[step]]):
   *
   *  1. politeness-scheduled wave off the frontier (shuffle 1: by salted host)
-  *  2. `mapPartitions` fetch+extract — narrow, embarrassingly parallel
-  *  3. item merge-on-key (shuffle 2: by item key)
+  *  2. `mapPartitions` fetch+extract, which WRITES its own outcomes (items
+  *     + payload bytes) to the raw step table as it fetches — narrow,
+  *     embarrassingly parallel, and the only pass that ever touches bytes
+  *  3. item decisions over byte-free scans of the landed outcomes: winner
+  *     pick + created/updated flags (shuffle 2: by item key) and phash
+  *     near-dup suppression, persisted as equality-delete keys
   *  4. spawned-job dedup: bloom probe → exact anti-join on the survivors
   *     (shuffle 3: by urlKey)
-  *  5. frontier/state/metrics rewrite + atomic snapshot commit
+  *  5. frontier/state/metrics rewrite + atomic snapshot commit (pipelined —
+  *     overlaps the next superstep's wave + fetch)
   *
-  * Three shuffles per superstep, none carrying image bytes except the item
-  * merge (bytes never enter the frontier or seen-set paths). Every commit is
-  * a resume point: [[resume]] continues from the latest snapshot with
-  * identical results (kill-safe via the store's atomic rename).
+  * Three shuffles per superstep, NONE carrying image bytes: payloads go
+  * scraper → parquet inside the fetch task and are only re-read by item
+  * consumers (merge-on-read). Every commit is a resume point: [[resume]]
+  * continues from the latest snapshot with identical results (kill-safe via
+  * the store's atomic rename).
   */
 final class CrawlEngine(
     spark: SparkSession,
@@ -262,16 +272,28 @@ final class CrawlEngine(
     spark.read.schema(shardSchema).parquet(store.tablePath(v, "bloom")).as[BloomShard]
   }
 
-  // Item deltas and observability logs are APPEND-ONLY side tables, written
-  // once per superstep into step=N partition dirs and never rewritten
-  // (Iceberg merge-on-read shape: O(step) IO instead of O(items·steps)
-  // copy-on-write). Only {frontier, bloom} — the resume-critical state — are
-  // snapshot-versioned; readers filter partitions to the committed step, so
-  // an uncommitted delta from a killed run is invisible (and is cleaned and
-  // deterministically rewritten on resume).
-  private def deltaDir = s"${cfg.statePath}/items_delta"
+  // Raw step outcomes and observability logs are APPEND-ONLY side tables,
+  // written once per superstep into step=N partition dirs and never
+  // rewritten (Iceberg merge-on-read shape: O(step) IO instead of
+  // O(items·steps) copy-on-write). The raw outcome table is written BY THE
+  // FETCH JOB ITSELF — image bytes flow scraper → parquet in the fetching
+  // task, never held across a stage boundary — and doubles as the item
+  // delta: readers pick each (step, key)'s winning row and drop that step's
+  // suppressed keys (the small `items_deletes` side table — Iceberg
+  // equality-delete shape). Only {frontier, bloom} — the resume-critical
+  // state — are snapshot-versioned; readers filter partitions to the
+  // committed step, so an uncommitted step dir from a killed run is
+  // invisible (cleaned and deterministically rewritten on resume).
+  private def rawDir = s"${cfg.statePath}/items_raw"
+  private def suppressedDir = s"${cfg.statePath}/items_deletes"
   private def itemsBaseDir = s"${cfg.statePath}/items_base"
   private def logDir(name: String) = s"${cfg.statePath}/logs/$name"
+
+  private val outcomeSchema =
+    org.apache.spark.sql.Encoders.product[graft.fetch.StepOutcome].schema
+  private val suppressedSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("key",
+      org.apache.spark.sql.types.StringType)))
 
   /** Highest compacted-base step (see [[compactItems]]); -1 = no base. */
   private def latestBaseStep: Int = {
@@ -295,7 +317,15 @@ final class CrawlEngine(
       .parquet(base).filter(col("step") <= upToStep))
   }
 
-  private def readItemDeltas(upToStep: Int): Dataset[ImageItem] = {
+  /** Item deltas, reconstructed at READ time from the raw outcome table:
+    * per (step, key) the winning row — lowest (srcJob, image_id, position),
+    * the same deterministic pick the write-side made when deltas were
+    * pre-filtered — minus that step's equality-deleted (suppressed) keys.
+    * Payload bytes are re-zipped from the split `itemBytes` column, so a
+    * byte-free caller (e.g. the suppression meta scan) never reads them.
+    */
+  private def readItemDeltas(upToStep: Int, withBytes: Boolean = true)
+      : Dataset[ImageItem] = {
     awaitCommit()
     val b = latestBaseStep
     val base =
@@ -303,8 +333,40 @@ final class CrawlEngine(
         Some(spark.read.schema(itemSchema)
           .parquet(s"$itemsBaseDir/step=$b").as[ImageItem])
       else None
-    val deltas = readStepPartitioned(deltaDir, upToStep, itemSchema)
-      .map(_.filter(col("step") > b).drop("step").as[ImageItem])
+    val deltas = readStepPartitioned(rawDir, upToStep, outcomeSchema).map { raw =>
+      val stepped = raw.filter(col("step") > b)
+      // metadata-only readers (suppression meta, counts) skip the payload
+      // zip entirely so the parquet scan never touches the byte column
+      val items =
+        if (withBytes) stepped
+          .select(col("step"), col("job.urlKey").as("srcJob"),
+            posexplode(arrays_zip(col("items"), col("itemBytes"))).as(Seq("pos", "z")))
+          .select(col("step"), col("srcJob"), col("pos"),
+            col("z.items").as("item"), col("z.itemBytes").as("payload"))
+        else stepped
+          .select(col("step"), col("job.urlKey").as("srcJob"),
+            posexplode(col("items")).as(Seq("pos", "item")))
+          .withColumn("payload", lit(Array.emptyByteArray))
+      val kept = readStepPartitioned(suppressedDir, upToStep, suppressedSchema) match {
+        case Some(sup) => items.join(
+          sup.select(col("step").as("sstep"), col("key").as("skey")),
+          col("step") === col("sstep") && col("item.key") === col("skey"),
+          "left_anti")
+        case None => items
+      }
+      kept
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("step"), col("item.key"))
+            .orderBy(col("srcJob").asc,
+              coalesce(col("item.image_id"), lit("")).asc, col("pos").asc)))
+        .filter(col("rn") === 1)
+        .select(col("item.*"), col("payload"), col("step"))
+        .drop("bytes", "createdStep")
+        .withColumnRenamed("payload", "bytes")
+        .withColumnRenamed("step", "createdStep")
+        .as[ImageItem]
+    }
     (base, deltas) match {
       case (Some(x), Some(y)) => x.unionByName(y)
       case (Some(x), None) => x
@@ -441,8 +503,11 @@ final class CrawlEngine(
     }
     var s = committed + 1
     // safe without awaiting the in-flight commit: it writes step=committed
-    // dirs, and cleanStale only removes step > committed
-    Seq(deltaDir, logDir("fetchlog")).foreach(cleanStale(_, committed))
+    // dirs, and cleanStale only removes step > committed. The raw outcome
+    // dir of the step being built is written BEFORE its commit (by the
+    // fetch job itself) — a kill in that window leaves a stale step dir
+    // that this sweep removes on resume.
+    Seq(rawDir, suppressedDir, logDir("fetchlog")).foreach(cleanStale(_, committed))
 
     val front = frontierCache match {
       case Some((`v`, f)) => f
@@ -490,12 +555,27 @@ final class CrawlEngine(
     // Rebalance the SELECTED wave before fetching (see EngineConfig
     // .fetchSplits): cheap exchange of byte-free rows, caps the placement
     // tail that otherwise sets the fetch stage's wall clock.
-    val waveFetch = wave.repartition(
-      spark.sessionState.conf.numShufflePartitions * cfg.fetchTaskFactor,
+    val fetchParts = {
+      val base = spark.sessionState.conf.numShufflePartitions
+      val byWave = ((waveN + cfg.fetchPagesPerTask - 1) / cfg.fetchPagesPerTask).toInt
+      math.max(base, math.min(base * cfg.fetchTaskFactor, byWave))
+    }
+    val waveFetch = wave.repartition(fetchParts,
       col("host"), pmod(col("urlKey"), lit(cfg.fetchSplits)))
-    val outcomes = timed("fetch")(
+    // The fetch job WRITES its outcomes as it produces them: payload bytes
+    // flow scraper → parquet inside the fetching task (uncompressed — the
+    // payloads are already PNG/JPEG-compressed) and never occupy executor
+    // memory past that task. Every later pass re-reads the landed table
+    // column-pruned (the byte column is top-level — see StepOutcome), so
+    // "plan the rest of the superstep" costs narrow scans, not a multi-GB
+    // in-memory checkpoint. The dir is invisible to readers until the
+    // snapshot commit below (readers filter to committed steps).
+    val rawPath = s"$rawDir/step=$stepNow"
+    timed("fetch")(
       FetchStage.run(waveFetch, routesBc, fetcherBc, hooksBc, cfg.forceDynamic)
-        .localCheckpoint(true))
+        .write.mode("overwrite").option("compression", "uncompressed")
+        .parquet(rawPath))
+    val outcomes = spark.read.schema(outcomeSchema).parquet(rawPath)
 
     // -- sizing probe: decides driver-resident vs distributed plans for the
     // item and spawn paths. Waves at least 1024× under the threshold skip
@@ -513,19 +593,18 @@ final class CrawlEngine(
       })
     val itemsOnDriver = nIncomingItems <= cfg.driverCollectMaxRows
 
-    // -- items path (append-only deltas; merge-on-read) ------------------
-    // Incoming items per superstep are normally politeness-bounded, so their
-    // (srcJob, key, image_id, phash) summaries live driver-side (bytes stay
-    // distributed); created-vs-updated flags and phash near-dup suppression
-    // cost ONE distributed pass over the existing deltas (the unbounded
-    // side) instead of a join cascade (Items.suppressAndSeenSets). Above
-    // driverCollectMaxRows the whole path runs distributed: banded
-    // suppression join + per-key winner window + flag aggregation — same
-    // semantics, nothing driver-resident.
-    // Column-pruned scans of the outcome checkpoint: a typed flatMap would
-    // deserialize every StepOutcome INCLUDING the item image bytes; the
-    // projections below keep every post-fetch pass byte-free except the one
-    // delta write that actually lands the bytes.
+    // -- items path (raw outcomes + equality deletes; merge-on-read) -----
+    // The bytes are already landed; this phase only DECIDES — winner pick,
+    // created-vs-updated flags, phash near-dup suppression — and persists
+    // the decisions as small byte-free side outputs (the winner pick is
+    // re-derived deterministically at read time; suppression lands as the
+    // step's equality-delete keys). Incoming items per superstep are
+    // normally politeness-bounded, so their (srcJob, key, image_id, phash)
+    // summaries live driver-side; above driverCollectMaxRows the same
+    // decisions run distributed: banded suppression join + per-key winner
+    // window + flag aggregation — same semantics, nothing driver-resident.
+    // Every scan below reads only byte-free top-level columns of the raw
+    // outcome table (the payload column is never touched).
     // (key, phash) of every existing item row — cache hit in steady state
     // (maintained below each step); miss = resume / first step, one
     // checkpointed read of the delta dirs (awaits any in-flight commit)
@@ -533,8 +612,9 @@ final class CrawlEngine(
       case Some((`committed`, df)) => Some(df)
       case _ =>
         awaitCommit()
-        if (new java.io.File(deltaDir).isDirectory || latestBaseStep >= 0)
-          Some(readItemDeltas(committed).select(col("key"), col("phash"))
+        if (new java.io.File(rawDir).isDirectory || latestBaseStep >= 0)
+          Some(readItemDeltas(committed, withBytes = false)
+            .select(col("key"), col("phash"))
             .toDF().localCheckpoint(true))
         else None
     }
@@ -546,13 +626,15 @@ final class CrawlEngine(
         coalesce(col("it.image_id"), lit("")).as("image_id"),
         col("it.phash").as("phash"))
 
-    // (delta to append, per-src flags: Left = driver map, Right = DataFrame
-    // (srcJob, created, updated), distributed-path winners checkpoint,
-    // this step's landed (key, phash) rows for the item-meta cache)
-    val (delta: Dataset[ImageItem],
-         flags: Either[Map[Long, (Long, Long)], DataFrame],
+    // (per-src flags: Left = driver map, Right = DataFrame (srcJob,
+    // created, updated); distributed-path winners checkpoint; this step's
+    // landed (key, phash) rows for the item-meta cache; this step's
+    // suppressed keys — the equality-delete rows the commit persists so
+    // readers drop them from the already-landed raw outcomes)
+    val (flags: Either[Map[Long, (Long, Long)], DataFrame],
          winnersCkpt: Option[DataFrame],
-         newMetaOpt: Option[DataFrame]) = timed("items")(
+         newMetaOpt: Option[DataFrame],
+         suppressedOut: Option[DataFrame]) = timed("items")(
       if (itemsOnDriver) {
         val itemTups = itemMetaDf
           .as[(Long, String, String, Long)]
@@ -562,35 +644,28 @@ final class CrawlEngine(
           itemTups, existingDf, cfg.phashThreshold)
         val keepTups = itemTups.filterNot { case (_, k, _, _) => suppressedKeys(k) }
         // one winner per key — lowest (srcJob, image_id), the same
-        // deterministic pick the distributed ranking window makes
+        // deterministic pick the read-side ranking window makes
         val winnersFull: Map[String, (Long, String, Long)] =
           keepTups.groupBy(_._2).map {
             case (k, rows) => k -> rows.iterator.map(r => (r._1, r._3, r._4)).min
           }
-        val winners: Map[String, (Long, String)] =
-          winnersFull.view.mapValues(w => (w._1, w._2)).toMap
-        val flagBySrc: Map[Long, (Long, Long)] = winners.groupBy(_._2._1).map {
+        val flagBySrc: Map[Long, (Long, Long)] = winnersFull.groupBy(_._2._1).map {
           case (src, ws) =>
             val created = ws.count { case (k, _) => !existedKeys(k) }
             src -> (created.toLong, (ws.size - created).toLong)
-        }
-        val winnersBc = spark.sparkContext.broadcast(winners)
-        val d = outcomes.flatMap { o =>
-          val w = winnersBc.value
-          val emitted = scala.collection.mutable.Set.empty[String]
-          o.items.iterator
-            .filter(it => w.get(it.key)
-              .contains((o.job.urlKey, Option(it.image_id).getOrElse(""))) &&
-              emitted.add(it.key))
-            .map(_.copy(createdStep = stepNow))
         }
         val nm =
           if (winnersFull.isEmpty) None
           else Some(winnersFull.iterator.map { case (k, w) => (k, w._3) }.toSeq
             .toDF("key", "phash"))
-        (d, Left(flagBySrc), None, nm)
+        val sup =
+          if (suppressedKeys.isEmpty) None
+          else Some(suppressedKeys.toSeq.toDF("key"))
+        (Left(flagBySrc), None, nm, sup)
       } else {
-        // distributed twin — same outputs, no driver state
+        // distributed twin — same outputs, no driver state. The suppressed
+        // plan reads only stable inputs (the landed raw table + the meta
+        // cache), so the background commit re-executes it safely.
         val existingDf = existingMetaOpt
         val suppressed = Items.suppressedKeyDf(
           itemMetaDf, existingDf, cfg.phashThreshold,
@@ -617,29 +692,9 @@ final class CrawlEngine(
               .as("created"),
             sum(when(coalesce(col("existed"), lit(false)), 1L).otherwise(0L))
               .as("updated"))
-        // land the winning rows (bytes move exactly once — the merge-on-key
-        // shuffle); posexplode + per-key pos order reproduces the driver
-        // path's "first matching item within the winning outcome" pick
-        val itemsPos = outcomes
-          .select(col("job.urlKey").as("psrc"),
-            posexplode(col("items")).as(Seq("pos", "item")))
-          .select(col("psrc"), col("pos"), col("item"),
-            col("item.key").as("pkey"),
-            coalesce(col("item.image_id"), lit("")).as("piid"))
-        val winKeyed = winnersDf.select(col("srcJob").as("wsrc"),
-          col("key").as("wkey"), col("image_id").as("wiid"))
-        val d = itemsPos.join(winKeyed,
-            col("psrc") === col("wsrc") && col("pkey") === col("wkey") &&
-              col("piid") === col("wiid"), "left_semi")
-          .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("pkey")).orderBy(col("pos"))))
-          .filter(col("rn") === 1)
-          .select(col("item.*"))
-          .withColumn("createdStep", lit(stepNow))
-          .as[ImageItem]
-        (d, Right(flagDf), Some(winnersDf),
-          Some(winnersDf.select(col("key"), col("phash"))))
+        (Right(flagDf), Some(winnersDf),
+          Some(winnersDf.select(col("key"), col("phash"))),
+          if (cfg.phashThreshold < 0) None else Some(suppressed))
       })
 
     // -- item-meta cache update (backs the next superstep's suppression) --
@@ -928,19 +983,22 @@ final class CrawlEngine(
     def commitWork(): Unit = {
       store.commit(v + 1, SnapshotStore.manifestJson(
         "version" -> (v + 1), "step" -> stepNow, "fetched" -> waveN)) { dir =>
-        inParallel(
-          () => delta.write.mode("overwrite").option("compression", "uncompressed")
-            .parquet(s"$deltaDir/step=$stepNow"),
-          () => stepFetchLog.drop("step").coalesce(1).write.mode("overwrite")
-            .parquet(s"${logDir("fetchlog")}/step=$stepNow"),
-          () => frontier3Ckpt.write.parquet(s"$dir/frontier"),
-          () => bloom2.write.parquet(s"$dir/bloom"))
+        // the item payloads are ALREADY on disk (landed by the fetch job);
+        // the commit persists only byte-free state: the step's equality-
+        // delete keys, the fetch log, and the versioned frontier + bloom
+        inParallel(Seq(
+          Some(() => stepFetchLog.drop("step").coalesce(1).write.mode("overwrite")
+            .parquet(s"${logDir("fetchlog")}/step=$stepNow")),
+          Some(() => frontier3Ckpt.write.parquet(s"$dir/frontier")),
+          Some(() => bloom2.write.parquet(s"$dir/bloom")),
+          suppressedOut.map(sup => () => sup.coalesce(1).write.mode("overwrite")
+            .parquet(s"$suppressedDir/step=$stepNow"))).flatten: _*)
       }
       store.expire(v + 1 - cfg.retainSnapshots + 1)
     }
     // released only after the writes that read them have finished
     def releaseCheckpoints(): Unit = {
-      Seq(wave, outcomes, fresh).foreach(_.unpersist())
+      Seq(wave, fresh).foreach(_.unpersist())
       allowedJobsCkpt.foreach(_.unpersist())
       winnersCkpt.foreach(_.unpersist())
       prevFrontCkpt.foreach(_.unpersist())
@@ -948,8 +1006,8 @@ final class CrawlEngine(
     }
     issuedState = Some((v + 1, stepNow))
     if (listeners.nonEmpty) {
-      // listener contract: fan-out AFTER the commit, stepLog backed by the
-      // still-persisted outcome checkpoint — so commit synchronously
+      // listener contract: fan-out AFTER the commit (stepLog reads the
+      // landed raw outcomes + this step's flags) — so commit synchronously
       timed("commit")(commitWork())
       val stepLog = stepFetchLog.as[FetchLog]
       listeners.foreach(_.onStepCommitted(stepNow, stepLog))
@@ -1020,13 +1078,18 @@ final class CrawlEngine(
         val target = Paths.get(itemsBaseDir, s"step=$committed")
         deleteRec(target)
         Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-        // absorbed inputs — readers already ignore them (max-base rule)
+        // absorbed inputs — readers already ignore them (max-base rule).
+        // NOTE: dropping a raw step dir also drops that step's fetch
+        // outcomes for item purposes only — the fetch LOG (the
+        // observability record) lives in its own table and is untouched.
         if (prevBase >= 0) deleteRec(Paths.get(itemsBaseDir, s"step=$prevBase"))
-        val d = new java.io.File(deltaDir)
-        Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
-          val n = f.getName
-          if (n.startsWith("step=") && n.substring(5).toInt <= committed)
-            deleteRec(f.toPath)
+        Seq(rawDir, suppressedDir).foreach { base =>
+          val d = new java.io.File(base)
+          Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+            val n = f.getName
+            if (n.startsWith("step=") && n.substring(5).toInt <= committed)
+              deleteRec(f.toPath)
+          }
         }
       }
     }

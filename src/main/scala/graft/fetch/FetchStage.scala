@@ -7,15 +7,38 @@ import graft.model._
 /** Outcome of one job's fetch+extract in a superstep. `action` encodes the
   * error policy verdict: "ok" | "retry" | "stop" | "redirect:<url>"
   * (reference: src/spider.js:213-260).
+  *
+  * Item payloads are SPLIT out of the item structs: `items(i)` carries the
+  * byte-free metadata (bytes = empty) and `itemBytes(i)` the payload. The
+  * engine lands the whole outcome to parquet in the same job that fetches
+  * it, and every later pass over the outcome table reads only the columns
+  * it needs — the top-level split makes "everything but the payload" a
+  * trivially prunable scan (no reliance on nested-schema pruning), so a
+  * wave's image bytes never sit in executor memory past their own task and
+  * cross the scan boundary exactly once, at item read time.
   */
 case class StepOutcome(
     job: CrawlJob,
     status: Int,
     action: String,
     items: Seq[ImageItem],
+    itemBytes: Seq[Array[Byte]],
     spawned: Seq[SpawnedJob],
     hasNextPage: Boolean,
     newState: Map[String, String])
+
+object StepOutcome {
+  /** Build an outcome from scraper-produced items (bytes inline), splitting
+    * payloads into the parallel `itemBytes` column.
+    */
+  def split(job: CrawlJob, status: Int, action: String, items: Seq[ImageItem],
+      spawned: Seq[SpawnedJob], hasNextPage: Boolean,
+      newState: Map[String, String]): StepOutcome =
+    StepOutcome(job, status, action,
+      items.map(_.copy(bytes = Array.emptyByteArray)),
+      items.map(it => Option(it.bytes).getOrElse(Array.emptyByteArray)),
+      spawned, hasNextPage, newState)
+}
 
 /** The fetch+extract superstep stage — the engine's only imperative kernel.
   *
@@ -53,13 +76,13 @@ object FetchStage {
         reg.get(job.routeId) match {
           case None =>
             // unknown route: reference warns + skips (worker.js:284-287)
-            StepOutcome(job, -1, "stop", Nil, Nil, hasNextPage = false, Map.empty)
+            StepOutcome(job, -1, "stop", Nil, Nil, Nil, hasNextPage = false, Map.empty)
           case Some(route) =>
             // custom process bypasses fetch+scrape (worker.js:195-199)
             hk.process.flatMap(p => p(job)) match {
               case Some(res) =>
                 val scraped = sanitize(res, job.routeId)
-                StepOutcome(job, 200, "ok", scraped.items, scraped.jobs,
+                StepOutcome.split(job, 200, "ok", scraped.items, scraped.jobs,
                   scraped.hasNextPage, scraped.state)
               case None =>
                 val effUrl = route.paginate(job.url, job.state.currentPage)
@@ -74,10 +97,10 @@ object FetchStage {
                     case ErrorAction.Redirect(u) => s"redirect:$u"
                     case _ => "stop"
                   }
-                  StepOutcome(job, status, action, Nil, Nil, hasNextPage = false, Map.empty)
+                  StepOutcome(job, status, action, Nil, Nil, Nil, hasNextPage = false, Map.empty)
                 } else {
                   val scraped = sanitize(route.scraper(page), job.routeId)
-                  StepOutcome(job, status, "ok", scraped.items, scraped.jobs,
+                  StepOutcome.split(job, status, "ok", scraped.items, scraped.jobs,
                     scraped.hasNextPage, scraped.state)
                 }
             }

@@ -111,8 +111,12 @@ object TextOps {
     * any scale, no all-pairs scan. Output: candidate pairs + colliding-band
     * count. Fully DuckDB-oracled (round 1 was rows-only via xxhash64).
     */
-  def q22MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val shh = shingleHashes(docs(s, dir))
+  def q22MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashCandidates(shingleHashes(docs(s, dir)))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** LSH candidate pairs (≥1 colliding band) over a (doc_id, shh) frame. */
+  private def minhashCandidates(shh: DataFrame): DataFrame = {
     val perms = (0 until MinhashPerms).map(i => min(PH.mix(col("shh"), i)).as(s"mh$i"))
     val sigs = shh.groupBy(col("doc_id")).agg(perms.head, perms.tail: _*)
     val bands = sigs.select(col("doc_id"), posexplode(array(
@@ -124,6 +128,32 @@ object TextOps {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** The full sketch-then-verify dedup pipeline: MinHash-LSH candidate
+    * generation ([[q22MinhashLsh]]) followed by EXACT Jaccard verification
+    * of each candidate pair — the step production dedup always runs, since
+    * banding admits false positives. The verify join touches only candidate
+    * pairs' shingle sets (equi-join on (doc_id, shh)), so its cost is
+    * O(candidates × shingles/doc), never all-pairs. Emits pairs with exact
+    * J ≥ 0.4 (the 32×4 banding's ~0.42 candidate threshold).
+    */
+  def q28MinhashVerify(s: SparkSession, dir: String): DataFrame = {
+    val sets = shingleHashes(docs(s, dir)).cache()
+    val cand = minhashCandidates(sets).select(col("doc_a"), col("doc_b"))
+    val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val common = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shh")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shh")), Seq("doc_b", "shh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), Seq("doc_b"))
+      .withColumn("jac_x1000",
+        round(lit(1000.0) * col("common") / (col("sza") + col("szb") - col("common"))).cast("long"))
+      .filter(col("jac_x1000") >= 400)
+      .select(col("doc_a"), col("doc_b"), col("jac_x1000"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -265,6 +295,32 @@ object TextOps {
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q28_minhash_verify" ->
+      s"""WITH $shingleHashesSql,
+         mh AS (
+           SELECT doc_id, p, MIN(${graft.functions.PortableHash.mixSql("shh", "p")}) AS mh
+           FROM shh CROSS JOIN generate_series(0, ${MinhashPerms - 1}) AS pp(p)
+           GROUP BY 1, 2),
+         bands AS (
+           SELECT doc_id, p // $MinhashRowsPerBand AS band,
+                  string_agg(mh::VARCHAR, ':' ORDER BY p) AS sig
+           FROM mh GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY 1),
+         common AS (
+           SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+           FROM cand c JOIN shh sa ON sa.doc_id = c.doc_a
+                       JOIN shh sb ON sb.doc_id = c.doc_b AND sb.shh = sa.shh
+           GROUP BY 1, 2)
+         SELECT c.doc_a, c.doc_b,
+           CAST(ROUND(1000.0 * common / (sa.sz + sb.sz - common)) AS BIGINT) AS jac_x1000
+         FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a
+                       JOIN sizes sb ON sb.doc_id = c.doc_b
+         WHERE CAST(ROUND(1000.0 * common / (sa.sz + sb.sz - common)) AS BIGINT) >= 400
+         ORDER BY doc_a, doc_b""",
     "q23_simhash" ->
       s"""WITH tok AS (
            SELECT doc_id, unnest([t for t in string_split(text, ' ') if t <> '']) AS tok
@@ -328,6 +384,7 @@ object TextOps {
     "q20_dedup_exact" -> q20DedupExact _,
     "q21_ngram_jaccard" -> q21NgramJaccard _,
     "q22_minhash_lsh" -> q22MinhashLsh _,
+    "q28_minhash_verify" -> q28MinhashVerify _,
     "q23_simhash" -> q23Simhash _,
     "q24_lang_id" -> q24LangId _,
     "q25_quality" -> q25Quality _,

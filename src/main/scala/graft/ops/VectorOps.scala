@@ -94,9 +94,13 @@ object VectorOps {
 
   /** Random-hyperplane LSH bucketing — the ANN scale path. 8 hyperplanes with
     * portable integer weights w(i,j) = ((i*31 + j*17) mod 7) - 3 give a
-    * deterministic 8-bit bucket per vector; search only the query's bucket.
-    * At 10^9 vectors this turns a full scan into one bucket scan (~1/256) —
-    * candidate generation is a hash-partitioned equi-join on the bucket key.
+    * deterministic 8-bit bucket per vector. MULTI-PROBE: the query probes its
+    * own bucket plus the 8 buckets at Hamming distance 1 (one sign bit
+    * flipped) — the standard recall fix for vectors that land near a
+    * hyperplane boundary, recovering most single-probe misses while still
+    * scanning only 9/256 of the table. Candidate generation stays a
+    * hash-partitioned equi-join: the broadcast query side is exploded into
+    * its 9 probe buckets, so at 10^9 vectors no full scan ever happens.
     */
   def q32AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val planes = (0 until 8).map { j =>
@@ -110,12 +114,68 @@ object VectorOps {
     val bucketed = emb(s, dir)
       .withColumn("bucket", planes.reduce(_ + _))
     val q = broadcast(bucketed.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qe"), col("bucket").as("qbucket")))
+      .select(col("embedding").as("qe"), col("bucket").as("qbucket"))
+      .withColumn("probe", explode(array(
+        (lit(0L) +: (0 until 8).map(j => lit(1L << j)))
+          .map(m => col("qbucket").bitwiseXOR(m)): _*)))
+      .select(col("qe"), col("probe")))
     bucketed
-      .join(q, col("bucket") === col("qbucket"))
+      .join(q, col("bucket") === col("probe"))
       .filter(col("vec_id") =!= 0)
       .withColumn("cos", cosine(col("embedding"), col("qe")))
       .select(col("vec_id"), col("bucket"),
+        round(col("cos") * 10000).cast("long").as("cos_x10000"))
+      .orderBy(col("cos_x10000").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** IVF (inverted-file) search — assignment + probe, the step beyond the
+    * [[q33Centroids]] build. The per-label mean centroids act as the coarse
+    * quantizer (k lists): every vector is assigned to its nearest centroid
+    * by squared L2 — a pure MAP-side argmin over broadcast-sized centroid
+    * literals, no shuffle — and the query scans only its `nprobe`=2 nearest
+    * lists, exact-cosine re-ranked. At 10^9 vectors this is the real IVF
+    * shape: centroids are always driver/broadcast-sized, assignment is
+    * embarrassingly parallel, and the probed lists are ~nprobe/k of the
+    * table.
+    */
+  def q34IvfSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    // build: per-label mean centroids (map-side-combinable agg, k×64 rows)
+    val cent: Array[(Int, Array[Double])] = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(avg(col("x").cast("double")).as("c"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (lbl, rows) =>
+        val v = new Array[Double](rows.map(_.getInt(1)).max + 1)
+        rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+        lbl -> v
+      }
+      .toArray.sortBy(_._1)
+    def d2(c: Array[Double]): Column = aggregate(
+      zip_with(col("embedding"), typedLit(c.toSeq),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, v) => acc + v)
+    // assignment: argmin over k (d2, label) structs — ties break to the
+    // lower label, matching the oracle's ORDER BY d2, label
+    val best = array_min(array(cent.map { case (lbl, c) =>
+      struct(d2(c).as("d2"), lit(lbl).as("cluster")) }: _*))
+    val assigned = e.withColumn("cluster", best.getField("cluster"))
+    // probe selection for the query vector (vec_id = 0), driver-side
+    val qEmb: Array[Float] = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val probes: Seq[Int] = cent.map { case (lbl, c) =>
+      (c.indices.map(i => (qEmb(i).toDouble - c(i)) * (qEmb(i).toDouble - c(i))).sum, lbl)
+    }.sorted.take(2).map(_._2).toSeq
+    val q = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe")))
+    assigned
+      .filter(col("cluster").isin(probes: _*) && col("vec_id") =!= 0)
+      .crossJoin(q)
+      .withColumn("cos", cosine(col("embedding"), col("qe")))
+      .select(col("vec_id"), col("cluster"),
         round(col("cos") * 10000).cast("long").as("cos_x10000"))
       .orderBy(col("cos_x10000").desc, col("vec_id").asc)
       .limit(10)
@@ -180,7 +240,8 @@ object VectorOps {
          nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nn FROM ex GROUP BY 1),
          cand AS (
            SELECT b.vec_id, b.bucket FROM bucket b
-           WHERE b.bucket = (SELECT bucket FROM bucket WHERE vec_id = 0)
+           WHERE xor(b.bucket, (SELECT bucket FROM bucket WHERE vec_id = 0))
+                 IN (0, 1, 2, 4, 8, 16, 32, 64, 128)
              AND b.vec_id <> 0),
          dots AS (
            SELECT e.vec_id, SUM(e.x * qe.x) AS d
@@ -199,11 +260,37 @@ object VectorOps {
            FROM ex GROUP BY 1, 2)
          SELECT label, CAST(ROUND(sqrt(SUM(c*c)) * 1000) AS BIGINT) AS centroid_norm_x1000,
                 MAX(cnt) AS n_vectors
-         FROM c GROUP BY 1 ORDER BY 1""")
+         FROM c GROUP BY 1 ORDER BY 1""",
+    "q34_ivf_search" ->
+      """WITH ex AS (
+           SELECT label, vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, generate_series(1, 64) AS g(i)),
+         c AS (SELECT label, i, AVG(x) AS c FROM ex GROUP BY 1, 2),
+         d AS (
+           SELECT e.vec_id, c.label, SUM((e.x - c.c) * (e.x - c.c)) AS d2
+           FROM ex e JOIN c ON e.i = c.i GROUP BY 1, 2),
+         assign AS (SELECT vec_id, label AS cluster FROM (
+             SELECT vec_id, label,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+             FROM d) WHERE rn = 1),
+         probe AS (SELECT label FROM d WHERE vec_id = 0 ORDER BY d2, label LIMIT 2),
+         nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nn FROM ex GROUP BY 1),
+         cand AS (
+           SELECT vec_id, cluster FROM assign
+           WHERE cluster IN (SELECT label FROM probe) AND vec_id <> 0),
+         dots AS (
+           SELECT e.vec_id, SUM(e.x * q.x) AS d
+           FROM ex e JOIN ex q ON e.i = q.i AND q.vec_id = 0
+           WHERE e.vec_id IN (SELECT vec_id FROM cand) GROUP BY 1)
+         SELECT c.vec_id, c.cluster,
+           CAST(ROUND(10000.0 * d / (nrm.nn * (SELECT nn FROM nrm WHERE vec_id = 0))) AS BIGINT) AS cos_x10000
+         FROM cand c JOIN dots ON dots.vec_id = c.vec_id JOIN nrm ON nrm.vec_id = c.vec_id
+         ORDER BY cos_x10000 DESC, c.vec_id ASC LIMIT 10""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_cosine_near_dup" -> q30CosineNearDup _,
     "q31_ann_topk" -> q31AnnTopk _,
     "q32_ann_lsh" -> q32AnnLsh _,
-    "q33_centroids" -> q33Centroids _)
+    "q33_centroids" -> q33Centroids _,
+    "q34_ivf_search" -> q34IvfSearch _)
 }
