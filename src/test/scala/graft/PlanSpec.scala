@@ -65,4 +65,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WholeStageCodegen") || "\\*\\(\\d+\\) ".r.findFirstIn(p).isDefined,
       p.take(2000))
   }
+
+  test("item-meta scans of the raw outcome table never read the payload column") {
+    // The engine's planning passes over the landed raw outcomes must stay
+    // byte-free: StepOutcome splits payloads into the top-level `itemBytes`
+    // column exactly so parquet column pruning drops it. A regression here
+    // (e.g. a scan that touches the payload) re-reads the wave's gigabytes
+    // once per planning pass at scale.
+    import spark.implicits._
+    import graft.fetch.StepOutcome
+    import graft.model.ImageItem
+    val item = ImageItem("k", "n", "content", "l", "detail", 1, 0, "0",
+      Array[Byte](1, 2, 3), 1, 1, "png", "c", 42L)
+    val out = StepOutcome.split(
+      CrawlJob(1L, "http://h.test/", "h.test", "detail"),
+      200, "ok", Seq(item), Nil, hasNextPage = false, Map.empty)
+    val raw = tmpDir("rawscan")
+    spark.createDataset(Seq(out)).write.mode("overwrite").parquet(raw)
+    // the engine's item-meta projection shape (CrawlEngine.itemMetaDf)
+    val meta = spark.read.parquet(raw)
+      .select(col("job.urlKey").as("srcJob"), explode(expr(
+        "transform(items, it -> named_struct('key', it.key, 'phash', it.phash))"))
+        .as("it"))
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = meta.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, plan.toString.take(800))
+    scans.foreach { s =>
+      assert(!s.requiredSchema.fieldNames.contains("itemBytes"),
+        s"payload column read by item-meta scan: ${s.requiredSchema.treeString}")
+    }
+  }
 }
