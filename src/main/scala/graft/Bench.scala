@@ -17,6 +17,8 @@ object Bench {
       // FAIR: the crawl engine's pipelined commit runs in its own pool and
       // must share task slots with the next superstep (FIFO serializes it)
       .config("spark.scheduler.mode", "FAIR")
+      // task-side file commit (v1 renames serially on the driver)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -56,6 +56,11 @@ object ScalingBench {
       // task slots with the next superstep's wave+fetch; under FIFO the
       // commit's jobs would hold every slot first, serializing the overlap
       .config("spark.scheduler.mode", "FAIR")
+      // v2 committer: task-side file moves; v1's job-commit renames every
+      // task file serially on the driver — O(tasks) flat cost per write,
+      // paid by the 100+-file raw outcome write each superstep. On a real
+      // cluster use the equivalent cloud/Iceberg committer.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", localDir)
@@ -171,6 +176,14 @@ object ScalingBench {
          |  threads, 27–57 at 32) — a per-executor resource a real 4N cluster
          |  scales with the executors, so 8→32 on one box would measure the
          |  sandbox's DIMMs, not the engine. Override: SPARK_GRAFT_N_CORES.
+         |- Same-box kernel ceiling: the ISOLATED fetch kernel (graft.tools
+         |  .CodecCal — no Spark, plain thread pool) scales at ~0.92 from 4→16
+         |  threads (222→820 pages/s measured 2026-08-17) — memory bandwidth,
+         |  not engine design, caps any engine on this box. The engine's fetch
+         |  stage (incl. the in-task parquet landing of bytes) measures ~0.89,
+         |  i.e. ≈0.97 of the kernel's own scaling; the residual end-to-end gap
+         |  is ~2 s/superstep of flat driver cost + the small retry-drain wave.
+         |  See BASELINE.md §(c).
          |- State + shuffle dirs on tmpfs — a real cluster's state storage scales
          |  with executors; the sandbox's lone shared virtual disk does not.
          |- JVM: -XX:+UseParallelGC (G1 capped the allocation-heavy image path at

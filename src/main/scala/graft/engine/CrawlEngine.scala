@@ -222,6 +222,22 @@ final class CrawlEngine(
     * switches suppression to live-set semantics). */
   private var itemMetaCache: Option[(Int, DataFrame)] = None
 
+  // ---- exact driver-side run accounting --------------------------------
+  // Maintained while every superstep since seed() ran in THIS engine
+  // instance on the driver-resident paths: unfinished-frontier count (lets
+  // run() stop without one final empty-wave probe — wave build + count +
+  // pending-min agg, ~1 s of pure flat cost) and the [[RunSummary]] tallies
+  // (fetched = Σ wave sizes; items = Σ created flags, exact because a key
+  // is "created" exactly once; dead letters from the sizing probe). Any
+  // step that can't account exactly (distributed fallback, resume into a
+  // fresh engine) flips the state to unknown and the log-based paths take
+  // over — identical values, a few extra jobs.
+  private var pendingCount: Long = -1L // unfinished frontier rows; -1 unknown
+  private var acctValid = false
+  private var fetchedAcc = 0L
+  private var itemsAcc = 0L
+  private var dlAcc = 0L
+
   private def awaitCommit(): Unit = commitInFlight.foreach { f =>
     import scala.concurrent.Await
     import scala.concurrent.duration.Duration
@@ -476,6 +492,9 @@ final class CrawlEngine(
 
     val jobsP = jobs.persist(StorageLevel.MEMORY_AND_DISK)
     val n = jobsP.count()
+    pendingCount = n
+    acctValid = true
+    fetchedAcc = 0L; itemsAcc = 0L; dlAcc = 0L
     val bloom = BloomSeen.insert(
       BloomSeen.empty(spark, cfg.bloomPartitions, cfg.bloomCapacityPerShard, cfg.bloomFpp),
       jobsP.map(_.urlKey), cfg.bloomPartitions)
@@ -484,6 +503,9 @@ final class CrawlEngine(
       jobsP.write.parquet(s"$dir/frontier")
       bloom.write.parquet(s"$dir/bloom")
     }
+    // synchronous commit — the in-memory twin is immediately valid, and its
+    // presence marks this engine as fresh-from-seed (vs resumed from disk)
+    issuedState = Some((0, -1))
     jobsP.unpersist()
   }
 
@@ -495,12 +517,18 @@ final class CrawlEngine(
     */
   def step(): Boolean = withEngineConf {
     // in-memory twin of the store's (version, step) — valid even while the
-    // previous commit is still in flight; a fresh/resumed engine reads disk
+    // previous commit is still in flight; a resumed engine reads disk (and
+    // cannot account exactly — its history is in the logs, not this JVM)
     val (v, committed) = issuedState.getOrElse {
       val v0 = currentVersion.getOrElse(
         throw new IllegalStateException("seed() first — no snapshot"))
+      pendingCount = -1L
+      acctValid = false
       (v0, stepOf(v0))
     }
+    // exact early exit: nothing unfinished in the frontier ⇒ the next wave
+    // is empty by construction — skip the wave-build/count/pending probe
+    if (pendingCount == 0L) return false
     var s = committed + 1
     // safe without awaiting the in-flight commit: it writes step=committed
     // dirs, and cleanStale only removes step > committed. The raw outcome
@@ -578,18 +606,26 @@ final class CrawlEngine(
     val outcomes = spark.read.schema(outcomeSchema).parquet(rawPath)
 
     // -- sizing probe: decides driver-resident vs distributed plans for the
-    // item and spawn paths. Waves at least 1024× under the threshold skip
-    // the probe job: breaching from there would need >1024 items or links
-    // per page ON AVERAGE — far outside any sane scrape, and the threshold
-    // is a driver-memory guard with ample headroom, not an exact budget.
-    // Larger waves pay one cheap agg over the checkpointed outcomes.
-    val (nIncomingItems, nSpawnedUpper) = timed("probe")(
-      if (waveN <= cfg.driverCollectMaxRows / 1024) (0L, 0L)
+    // item and spawn paths, and (while exact accounting is live) tallies
+    // this step's dead letters + continuing jobs in the SAME narrow agg.
+    // Waves at least 1024× under the threshold with no accounting skip the
+    // probe job entirely: breaching from there would need >1024 items or
+    // links per page ON AVERAGE — far outside any sane scrape, and the
+    // threshold is a driver-memory guard with ample headroom, not an exact
+    // budget.
+    val doProbe = waveN > cfg.driverCollectMaxRows / 1024 || pendingCount >= 0L
+    val (nIncomingItems, nSpawnedUpper, dlStep, contStep) = timed("probe")(
+      if (!doProbe) (0L, 0L, -1L, -1L)
       else {
-        val sizeRow = outcomes.agg(
+        val r = outcomes.agg(
           coalesce(sum(size(col("items"))), lit(0L)),
-          coalesce(sum(size(col("spawned"))), lit(0L))).head()
-        (sizeRow.getLong(0), sizeRow.getLong(1))
+          coalesce(sum(size(col("spawned"))), lit(0L)),
+          coalesce(sum(when(col("status") >= 400 && col("action") === "stop",
+            1L).otherwise(0L)), lit(0L)),
+          coalesce(sum(when(col("action") === "retry" ||
+            (col("action") === "ok" && col("hasNextPage")), 1L).otherwise(0L)),
+            lit(0L))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       })
     val itemsOnDriver = nIncomingItems <= cfg.driverCollectMaxRows
 
@@ -830,6 +866,19 @@ final class CrawlEngine(
           probed.unpersist()
           (f, None)
       })
+
+    // -- run accounting update (see fields above) ------------------------
+    val freshN = freshKeysLocal.map(_.length.toLong).getOrElse(-1L)
+    fetchedAcc += waveN
+    pendingCount =
+      if (pendingCount >= 0L && contStep >= 0L && freshN >= 0L)
+        pendingCount - waveN + contStep + freshN
+      else -1L
+    if (dlStep >= 0L) dlAcc += dlStep else acctValid = false
+    flags match {
+      case Left(m) => itemsAcc += m.valuesIterator.map(_._1).sum
+      case Right(_) => acctValid = false
+    }
 
     // -- job-state updates ----------------------------------------------
     // locals only in executor closures — capturing fields would serialize `this`
@@ -1096,19 +1145,23 @@ final class CrawlEngine(
   }
 
   private def summary(steps: Int): RunSummary = timed("summary") {
-    // one pass over the fetch log (count == fetched: one row per fetch;
-    // dead letters are the stop+4xx/5xx rows) instead of two, and the item
+    // exact driver accounting when live (zero Spark jobs — see the fields'
+    // scaladoc); else one pass over the fetch log (count == fetched: one
+    // row per fetch; dead letters are the stop+4xx/5xx rows) and the item
     // count off the in-memory meta cache when it is current — LWW-resolved
     // count == distinct delta keys, no window over the full delta scan
-    val row = fetchLog.agg(
-      count(lit(1)),
-      coalesce(sum(when(col("status") >= 400 && col("action") === "stop", 1L)
-        .otherwise(0L)), lit(0L))).head()
-    val itemCount = itemMetaCache match {
-      case Some((step, df)) if issuedState.exists(_._2 == step) =>
-        df.select(col("key")).distinct().count()
-      case _ => items.count()
+    if (acctValid) RunSummary(steps, fetchedAcc, itemsAcc, dlAcc)
+    else {
+      val row = fetchLog.agg(
+        count(lit(1)),
+        coalesce(sum(when(col("status") >= 400 && col("action") === "stop", 1L)
+          .otherwise(0L)), lit(0L))).head()
+      val itemCount = itemMetaCache match {
+        case Some((step, df)) if issuedState.exists(_._2 == step) =>
+          df.select(col("key")).distinct().count()
+        case _ => items.count()
+      }
+      RunSummary(steps, row.getLong(0), itemCount, row.getLong(1))
     }
-    RunSummary(steps, row.getLong(0), itemCount, row.getLong(1))
   }
 }

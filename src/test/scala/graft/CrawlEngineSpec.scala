@@ -89,6 +89,12 @@ class CrawlEngineSpec extends SparkSpec {
     assert(eng.frontier.filter(!_.state.finished).count() == 0)
     // re-running is a no-op (idempotent completion)
     assert(!eng.step())
+
+    // the exact driver-side accounting (zero-job RunSummary + early-exit
+    // pending counter) agrees with the log-derived ground truth
+    assert(sum.fetched == eng.fetchLog.count(), "fetched accounting")
+    assert(sum.items == eng.items.count(), "items accounting")
+    assert(sum.deadLettered == eng.deadLetters.count(), "dead-letter accounting")
   }
 
   test("forced distributed plans: same items (incl. phash suppression), stats, dead letters") {
