@@ -12,7 +12,8 @@ import graft.model._
   * semantics the engine distributes: priority dequeue (reference:
   * src/nest.js:170-173), dedup-on-enqueue (src/db/queue.js:63-83),
   * per-route concurrency / per-host budget (src/nest.js:238-261), pagination
-  * (src/worker.js:223-229), retry policy (src/spider.js:213-260), robots
+  * (src/worker.js:223-229), scraper-state carry (right-wins merge,
+  * src/worker.js:230-233), retry policy (src/spider.js:213-260), robots
   * allow + crawl-delay, and last-writer-wins item upsert (src/db/item.js:86-99).
   * The engine must reproduce this oracle's per-host dequeue sequence, final
   * URL-seen set, and final item-key set on the same seeds + budget.
@@ -34,7 +35,8 @@ final class NestOracle(
       createdStep: Int, var errorCount: Int = 0, var notBeforeStep: Int = 0,
       var currentPage: Int = 1, var finished: Boolean = false,
       var pages: Int = 0, var spawned: Int = 0,
-      query: Map[String, String] = Map.empty)
+      query: Map[String, String] = Map.empty,
+      var data: Map[String, String] = Map.empty)
 
   /** Snapshot of an OJob in the engine's job shape — what user hooks see. */
   private def toCrawlJob(j: OJob): CrawlJob =
@@ -42,7 +44,8 @@ final class NestOracle(
       createdStep = j.createdStep, errorCount = j.errorCount,
       notBeforeStep = j.notBeforeStep,
       stats = JobStats(pages = j.pages, spawned = j.spawned),
-      state = JobState(currentPage = j.currentPage, finished = j.finished),
+      state = JobState(currentPage = j.currentPage, finished = j.finished,
+        data = j.data),
       query = j.query)
 
   private val frontier = mutable.LinkedHashMap.empty[Long, OJob]
@@ -158,6 +161,7 @@ final class NestOracle(
         val scraped = graft.fetch.FetchStage.sanitize(res, j.routeId)
         j.pages += 1
         j.spawned += scraped.jobs.size
+        j.data = j.data ++ scraped.state // right-wins carry (worker.js:230-233)
         scraped.items.foreach(it => itemKeys += it.key)
         scraped.jobs.foreach(sj =>
           resolveSpawn(sj).foreach(u => enqueue(sj.routeId, u, s + 1, sj.query)))
@@ -184,6 +188,7 @@ final class NestOracle(
       val scraped = graft.fetch.FetchStage.sanitize(route.scraper(page), j.routeId)
       j.pages += 1
       j.spawned += scraped.jobs.size
+      j.data = j.data ++ scraped.state // right-wins carry (worker.js:230-233)
       scraped.items.foreach(it => itemKeys += it.key)
       scraped.jobs.foreach(sj =>
         resolveSpawn(sj).foreach(u => enqueue(sj.routeId, u, s + 1, sj.query)))
@@ -196,6 +201,9 @@ final class NestOracle(
 
   def seenUrls: Set[String] = frontier.values.map(_.url).toSet
   def finalItemKeys: Set[String] = itemKeys.toSet
+  /** Final scraper-state carry per job (O17 — state.data right-wins merge). */
+  def jobData: Map[Long, Map[String, String]] =
+    frontier.values.map(j => j.urlKey -> j.data).toMap
   def jobStats: Map[Long, (Int, Int, Boolean)] =
     frontier.values.map(j => j.urlKey -> ((j.pages, j.spawned, j.finished))).toMap
   /** Per-host dequeue sequence as (step, url, page) triples in dequeue order. */

@@ -152,4 +152,41 @@ class WorkerHooksSpec extends SparkSpec {
     assert(items.map(_.key).toSet == oracle.finalItemKeys)
     assert(eng.frontier.collect().map(_.url).toSet == oracle.seenUrls)
   }
+
+  test("scraper state carries right-wins across pages — engine == oracle (O17)") {
+    // details "scrape" three pages, each page emitting per-page state plus
+    // an overwritten cursor — the reference's state carry between pagination
+    // calls (worker.js:230-233, README state example). The final job state
+    // must hold the UNION of page keys with the LAST page's cursor value.
+    val proc: CrawlJob => Option[ScrapeResult] = job =>
+      if (job.routeId != SyntheticCorpus.DETAIL) None
+      else {
+        val p = job.state.currentPage
+        Some(ScrapeResult(
+          hasNextPage = p < 3,
+          state = Map(s"p$p" -> s"v$p", "cursor" -> s"c$p")))
+      }
+    val hooks = WorkerHooks(process = Some(proc))
+    val eng = engine("hooks-state", hooks)
+    eng.seed(SyntheticCorpus.seeds(spec))
+    eng.run()
+
+    val oracle = new NestOracle(routes, fetcher, Nil, 2, hooks = hooks)
+    oracle.seed(SyntheticCorpus.seeds(spec))
+    oracle.run()
+
+    val engData = eng.frontier.collect().map(j => j.urlKey -> j.state.data).toMap
+    assert(engData == oracle.jobData, {
+      val diff = (engData.keySet ++ oracle.jobData.keySet)
+        .filter(k => engData.get(k) != oracle.jobData.get(k)).take(3)
+      s"state.data mismatch on $diff: eng=${diff.map(engData.get)} oracle=${diff.map(oracle.jobData.get)}"
+    })
+    // sanity: the carry really accumulated and right-wins applied
+    val detailData = eng.frontier.collect()
+      .filter(_.routeId == SyntheticCorpus.DETAIL).map(_.state.data)
+    assert(detailData.nonEmpty)
+    detailData.foreach { d =>
+      assert(d == Map("p1" -> "v1", "p2" -> "v2", "p3" -> "v3", "cursor" -> "c3"), d)
+    }
+  }
 }
