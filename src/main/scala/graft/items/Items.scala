@@ -15,44 +15,6 @@ import graft.model.ImageItem
   */
 object Items {
 
-  /** An item tagged with the frontier job (urlKey) that produced it — used
-    * to attribute created/updated counts back to per-job stats
-    * (reference: src/worker.js:235-238).
-    */
-  case class Landed(srcJob: Long, item: ImageItem)
-
-  /** Deduplicate incoming within the batch (one winner per key:
-    * lowest srcJob then image_id — deterministic) and flag created-vs-updated
-    * against the existing keys. Returns (delta to append, per-key flags
-    * (key, srcJob, wasNew)).
-    *
-    * Merge-on-read (Iceberg MOR-style): the engine appends the delta —
-    * nothing is rewritten; readers resolve last-writer-wins by
-    * (key, createdStep) via [[resolve]]. `prevKeys` need only the key
-    * column, so the existing-items scan is column-pruned to one column.
-    */
-  def mergeDelta(prevKeys: DataFrame, incoming: Dataset[Landed])
-      : (Dataset[ImageItem], DataFrame) = {
-    val spark = incoming.sparkSession
-    import spark.implicits._
-
-    val winners = incoming
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("item.key"))
-          .orderBy(col("srcJob").asc, col("item.image_id").asc)))
-      .filter(col("rn") === 1)
-      .drop("rn")
-      .cache()
-
-    val flags = winners
-      .select(col("item.key").as("key"), col("srcJob"))
-      .join(prevKeys.withColumn("existed", lit(true)), Seq("key"), "left")
-      .withColumn("wasNew", col("existed").isNull)
-      .drop("existed")
-
-    (winners.select(col("item.*")).as[ImageItem], flags)
-  }
-
   /** Read-side LWW resolution over appended deltas: latest createdStep wins
     * per key (ties impossible: one winner per key per step by construction).
     */

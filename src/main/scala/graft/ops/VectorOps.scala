@@ -129,6 +129,36 @@ object VectorOps {
       .limit(10)
   }
 
+  /** Embedding near-dup at scale: LSH-bucketed candidates → EXACT cosine
+    * verify — the vector twin of the MinHash sketch-then-verify pipeline
+    * (q28). Same 8 hyperplanes as [[q32AnnLsh]]; candidate generation is a
+    * bucket equi-join (within-bucket pairs ≈ n²/256 instead of n² — and on
+    * a real corpus more planes shrink it further), then only candidates pay
+    * the exact dot product. The brute-force q30 is the small-scale exact
+    * baseline; THIS is the plan that survives 10^9 vectors. Same-bucket-only
+    * candidates trade recall near hyperplane boundaries for never scanning
+    * cross-bucket — the standard first-cut dedup posture.
+    */
+  def q35CosineLshVerify(s: SparkSession, dir: String): DataFrame = {
+    val planes = (0 until 8).map { j =>
+      val proj = aggregate(
+        zip_with(col("embedding"), sequence(lit(0), lit(63)),
+          (x, i) => x.cast("double") * (((i * 31 + lit(j * 17)) % 7) - 3).cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    val bucketed = emb(s, dir)
+      .withColumn("bucket", planes.reduce(_ + _))
+      .select(col("vec_id"), col("bucket"), col("embedding"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= 0.35)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos") * 10000).cast("long").as("cos_x10000"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** IVF (inverted-file) search — assignment + probe, the step beyond the
     * [[q33Centroids]] build. The per-label mean centroids act as the coarse
     * quantizer (k lists): every vector is assigned to its nearest centroid
@@ -285,12 +315,39 @@ object VectorOps {
          SELECT c.vec_id, c.cluster,
            CAST(ROUND(10000.0 * d / (nrm.nn * (SELECT nn FROM nrm WHERE vec_id = 0))) AS BIGINT) AS cos_x10000
          FROM cand c JOIN dots ON dots.vec_id = c.vec_id JOIN nrm ON nrm.vec_id = c.vec_id
-         ORDER BY cos_x10000 DESC, c.vec_id ASC LIMIT 10""")
+         ORDER BY cos_x10000 DESC, c.vec_id ASC LIMIT 10""",
+    "q35_cosine_lsh_verify" ->
+      """WITH ex AS (
+           SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, generate_series(1, 64) AS g(i)),
+         proj AS (
+           SELECT vec_id, j, SUM(x * (((((i-1)*31 + j*17) % 7) - 3))) AS p
+           FROM ex CROSS JOIN generate_series(0, 7) AS jj(j) GROUP BY 1, 2),
+         bucket AS (
+           SELECT vec_id, CAST(SUM(CASE WHEN p >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+           FROM proj GROUP BY 1),
+         cand AS (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+           FROM bucket a JOIN bucket b
+             ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nn FROM ex GROUP BY 1),
+         dots AS (
+           SELECT c.vec_a, c.vec_b, SUM(ea.x * eb.x) AS d
+           FROM cand c JOIN ex ea ON ea.vec_id = c.vec_a
+                       JOIN ex eb ON eb.vec_id = c.vec_b AND eb.i = ea.i
+           GROUP BY 1, 2)
+         SELECT d.vec_a, d.vec_b,
+           CAST(ROUND(10000.0 * d.d / (na.nn * nb.nn)) AS BIGINT) AS cos_x10000
+         FROM dots d JOIN nrm na ON na.vec_id = d.vec_a
+                     JOIN nrm nb ON nb.vec_id = d.vec_b
+         WHERE d.d / (na.nn * nb.nn) >= 0.35
+         ORDER BY vec_a, vec_b""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_cosine_near_dup" -> q30CosineNearDup _,
     "q31_ann_topk" -> q31AnnTopk _,
     "q32_ann_lsh" -> q32AnnLsh _,
     "q33_centroids" -> q33Centroids _,
-    "q34_ivf_search" -> q34IvfSearch _)
+    "q34_ivf_search" -> q34IvfSearch _,
+    "q35_cosine_lsh_verify" -> q35CosineLshVerify _)
 }
