@@ -42,9 +42,11 @@ object CrawlEngine {
     * superstep, listeners receive that step's fetch log as a typed Dataset
     * (filter `finished`/`action`/`itemsCreated` for the per-job events).
     * Runs on the driver between supersteps; a throwing listener fails the
-    * crawl like a throwing reference handler. The Dataset is backed by the
-    * superstep's in-memory checkpoint and must be consumed INSIDE the
-    * callback (collect/write/aggregate), not retained.
+    * crawl like a throwing reference handler. The Dataset scans the step's
+    * landed raw-outcome table and should be consumed INSIDE the callback
+    * (collect/write/aggregate). With listeners attached the commit runs
+    * synchronously (fan-out is contractually after-commit), trading the
+    * pipelined overlap for the event ordering guarantee.
     */
   trait StepListener {
     def onStepCommitted(step: Int, stepLog: Dataset[FetchLog]): Unit
@@ -398,7 +400,7 @@ final class CrawlEngine(
   }
 
   /** Remove step partitions newer than the committed step (left by a killed
-    * run between delta write and snapshot commit).
+    * run between the raw-outcome/log writes and the snapshot commit).
     */
   private def cleanStale(base: String, committed: Int): Unit = {
     val d = new java.io.File(base)
@@ -744,7 +746,7 @@ final class CrawlEngine(
       }
     itemMetaCache = mergedMeta.map((stepNow, _))
 
-    // -- spawned-jobs path (byte-free projections of the checkpoint) ------
+    // -- spawned-jobs path (byte-free scans of the landed outcomes) -------
     val spawnedPart = outcomes
       .select(explode(col("spawned")).as("sj"))
       .select(col("sj.routeId").as("routeId"), col("sj.url").as("rawUrl"),

@@ -11,6 +11,10 @@ object SparkTestSession {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
+      // production posture for the crawl engine's pipelined commit: its
+      // background pool shares task slots, so every engine test exercises
+      // the genuinely-concurrent commit path
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
