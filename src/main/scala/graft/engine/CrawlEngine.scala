@@ -305,6 +305,16 @@ final class CrawlEngine(
   private def rawDir = s"${cfg.statePath}/items_raw"
   private def suppressedDir = s"${cfg.statePath}/items_deletes"
   private def itemsBaseDir = s"${cfg.statePath}/items_base"
+  // Finished jobs leave the versioned frontier for this append-only archive
+  // (one step dir per superstep, written in the pipelined commit). The hot
+  // frontier — scanned, rewritten and snapshotted EVERY superstep — stays
+  // O(pending jobs); a months-long 10^10-URL crawl would otherwise pay
+  // O(all jobs ever) per step on each of those. The archive is read only by
+  // the [[frontier]] accessor (union view) and by the seen-set EXACT check,
+  // which scans just its 8-byte urlKey column and only on bloom-positive
+  // steps (on a real deployment, bucket this table by urlKey for partition
+  // pruning of that probe).
+  private def archiveDir = s"${cfg.statePath}/jobs_done"
   private def logDir(name: String) = s"${cfg.statePath}/logs/$name"
 
   private val outcomeSchema =
@@ -421,7 +431,18 @@ final class CrawlEngine(
       .getOrElse(throw new IllegalStateException(s"manifest of v$v lacks step"))
   }
 
-  def frontier: Dataset[CrawlJob] = readFrontier(currentVersion.get)
+  /** All jobs ever enqueued: the active (unfinished) frontier plus the
+    * finished-job archive — the union view matching the reference's single
+    * jobs collection.
+    */
+  def frontier: Dataset[CrawlJob] = {
+    val v = currentVersion.get
+    val active = readFrontier(v)
+    readStepPartitioned(archiveDir, stepOf(v), jobSchema) match {
+      case Some(a) => active.unionByName(a.drop("step").as[CrawlJob])
+      case None => active
+    }
+  }
   def items: Dataset[ImageItem] =
     Items.resolve(readItemDeltas(stepOf(currentVersion.get)))
   def fetchLog: Dataset[FetchLog] = readFetchLogUpTo(stepOf(currentVersion.get))
@@ -537,7 +558,8 @@ final class CrawlEngine(
     // dir of the step being built is written BEFORE its commit (by the
     // fetch job itself) — a kill in that window leaves a stale step dir
     // that this sweep removes on resume.
-    Seq(rawDir, suppressedDir, logDir("fetchlog")).foreach(cleanStale(_, committed))
+    Seq(rawDir, suppressedDir, archiveDir, logDir("fetchlog"))
+      .foreach(cleanStale(_, committed))
 
     val front = frontierCache match {
       case Some((`v`, f)) => f
@@ -827,7 +849,11 @@ final class CrawlEngine(
           val posSet = candKeys.iterator.zip(might.iterator)
             .collect { case (k, true) => k }.toSet
           // Exact check only on the bloom-positive sliver (true hits +
-          // fpp·new): the frontier is column-scanned, never shuffled.
+          // fpp·new): the active frontier AND the finished-job archive are
+          // column-scanned on urlKey, never shuffled. Reading the archive
+          // awaits any in-flight commit (it appends a step dir) — usually a
+          // no-op since the commit overlapped the whole fetch; spawn-free
+          // steps (posSet empty) never touch it.
           val confirmedSeen: Set[Long] =
             if (posSet.isEmpty) Set.empty
             else {
@@ -835,8 +861,15 @@ final class CrawlEngine(
               val posBc = spark.sparkContext.broadcast(posSorted)
               val inPos = udf((k: Long) =>
                 java.util.Arrays.binarySearch(posBc.value, k) >= 0)
-              front.select(col("urlKey")).filter(inPos(col("urlKey")))
+              val activeSeen = front.select(col("urlKey"))
+                .filter(inPos(col("urlKey")))
                 .as[Long].collect().toSet
+              awaitCommit()
+              val archSeen = readStepPartitioned(archiveDir, committed, jobSchema)
+                .map(_.select(col("urlKey")).filter(inPos(col("urlKey")))
+                  .as[Long].collect().toSet)
+                .getOrElse(Set.empty[Long])
+              activeSeen ++ archSeen
             }
           val freshKeySet = candKeys.iterator
             .filter(k => !posSet(k) || !confirmedSeen(k)).toSet
@@ -860,7 +893,14 @@ final class CrawlEngine(
           val maybeSeen = allowedJobs.join(
             broadcast(probed.filter(col("might")).drop("might")),
             Seq("urlKey"), "left_semi")
-          val seenConfirmed = front.select(col("urlKey"))
+          // distributed path already awaited (readBloom above) — the archive
+          // dirs up to `committed` are fully landed
+          val seenEver = readStepPartitioned(archiveDir, committed, jobSchema) match {
+            case Some(a) => front.select(col("urlKey"))
+              .unionByName(a.select(col("urlKey")))
+            case None => front.select(col("urlKey"))
+          }
+          val seenConfirmed = seenEver
             .join(broadcast(maybeSeen.select(col("urlKey"))), Seq("urlKey"), "left_semi")
           val confirmedNew = maybeSeen.join(
             broadcast(seenConfirmed), Seq("urlKey"), "left_anti")
@@ -955,7 +995,13 @@ final class CrawlEngine(
       } else
         front.join(wave.select(col("urlKey")), Seq("urlKey"), "left_anti")
           .as[CrawlJob]
-    val frontier2 = untouched.unionByName(updatedWave).unionByName(fresh)
+    // Jobs that finished THIS step leave the hot frontier for the append-
+    // only archive (written in the commit below); the versioned frontier —
+    // scanned, rewritten and snapshotted every superstep — stays O(pending).
+    val archivedWave = updatedWave.filter(col("state.finished"))
+    val frontier2 = untouched
+      .unionByName(updatedWave.filter(!col("state.finished")))
+      .unionByName(fresh)
     val frontier3 = {
       // robots crawl-delay: bump hosts fetched this wave. The delayed-host
       // universe is the robots rules table (tiny by design), so the touched∩
@@ -1042,6 +1088,8 @@ final class CrawlEngine(
             .parquet(s"${logDir("fetchlog")}/step=$stepNow")),
           Some(() => frontier3Ckpt.write.parquet(s"$dir/frontier")),
           Some(() => bloom2.write.parquet(s"$dir/bloom")),
+          Some(() => archivedWave.write.mode("overwrite")
+            .parquet(s"$archiveDir/step=$stepNow")),
           suppressedOut.map(sup => () => sup.coalesce(1).write.mode("overwrite")
             .parquet(s"$suppressedDir/step=$stepNow"))).flatten: _*)
       }
