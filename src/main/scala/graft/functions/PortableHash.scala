@@ -40,6 +40,16 @@ object PortableHash {
   /** poly-31 char hash (Java `String.hashCode` recurrence, reduced mod 2^31):
     * `h = (h*31 + ascii(c)) mod 2^31` over the characters of `c`.
     * The empty-string filter pins identical split semantics in both engines.
+    *
+    * DOMAIN: ASCII text only. Spark's `split(c, "")` is UTF-16-based and
+    * splits a non-BMP codepoint into two surrogate halves (and `ascii()`
+    * semantics differ across engines for multibyte input), while DuckDB's
+    * `string_split` yields whole codepoints — so on non-ASCII corpora the
+    * two engines would silently diverge. The driver testdata is ASCII by
+    * construction; a production deployment hashing arbitrary Unicode should
+    * hash codepoints explicitly (e.g. a codepoint-splitting Catalyst
+    * expression over `encode(c,'utf-32be')`) on the Spark side, or swap
+    * [[poly]] for xxhash64 and accept the rows-only gate.
     */
   def poly(c: Column): Column =
     aggregate(

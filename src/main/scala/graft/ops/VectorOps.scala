@@ -57,6 +57,10 @@ object VectorOps {
           (id, a, math.sqrt(n))
         }
       val bc = s.sparkContext.broadcast(side)
+      // each pass materializes its (tiny, filtered) pair output eagerly so
+      // the block's broadcast can be destroyed before the next pass begins —
+      // the executors hold ONE block at a time; only the surviving pairs
+      // (not the vectors) accumulate across passes
       val part = rows.mapPartitions { it =>
         val blk = bc.value
         it.flatMap { case (ida, a) =>
@@ -71,7 +75,8 @@ object VectorOps {
             if (cos >= 0.35) Some((ida, idb, math.round(cos * 10000))) else None
           }
         }
-      }.toDF("vec_a", "vec_b", "cos_x10000")
+      }.toDF("vec_a", "vec_b", "cos_x10000").localCheckpoint(true)
+      bc.destroy()
       part
     }
     blocks.reduce(_ unionByName _).orderBy(col("vec_a"), col("vec_b"))
@@ -129,35 +134,64 @@ object VectorOps {
       .limit(10)
   }
 
-  /** Embedding near-dup at scale: LSH-bucketed candidates → EXACT cosine
-    * verify — the vector twin of the MinHash sketch-then-verify pipeline
-    * (q28). Same 8 hyperplanes as [[q32AnnLsh]]; candidate generation is a
-    * bucket equi-join (within-bucket pairs ≈ n²/256 instead of n² — and on
-    * a real corpus more planes shrink it further), then only candidates pay
-    * the exact dot product. The brute-force q30 is the small-scale exact
-    * baseline; THIS is the plan that survives 10^9 vectors. Same-bucket-only
-    * candidates trade recall near hyperplane boundaries for never scanning
-    * cross-bucket — the standard first-cut dedup posture.
+  /** Banded random-hyperplane signature rows `(vec_id, band, bits)` —
+    * `bands` × `planesPerBand` hyperplanes total, plane j's portable integer
+    * weights w(i,j) = ((i·31 + j·17) mod 7) − 3 (the same deterministic
+    * family as [[q32AnnLsh]]). Band t packs the sign bits of planes
+    * [t·r, t·r+r) into an r-bit value; one projection pass per vector, the
+    * output is byte-free (no embeddings carried into the candidate join).
     */
-  def q35CosineLshVerify(s: SparkSession, dir: String): DataFrame = {
-    val planes = (0 until 8).map { j =>
-      val proj = aggregate(
-        zip_with(col("embedding"), sequence(lit(0), lit(63)),
-          (x, i) => x.cast("double") * (((i * 31 + lit(j * 17)) % 7) - 3).cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+  private def bandedSignature(e: DataFrame, bands: Int, planesPerBand: Int): DataFrame = {
+    def proj(j: Int): Column = aggregate(
+      zip_with(col("embedding"), sequence(lit(0), lit(63)),
+        (x, i) => x.cast("double") * (((i * 31 + lit(j * 17)) % 7) - 3).cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val bandStructs = (0 until bands).map { t =>
+      val bits = (0 until planesPerBand).map { k =>
+        when(proj(t * planesPerBand + k) >= 0, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("band"), bits.as("bits"))
     }
-    val bucketed = emb(s, dir)
-      .withColumn("bucket", planes.reduce(_ + _))
-      .select(col("vec_id"), col("bucket"), col("embedding"))
-    bucketed.as("a").join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
-      .filter(col("cos") >= 0.35)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+    e.select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+  }
+
+  /** Embedding near-dup at scale: banded-LSH candidates → EXACT cosine
+    * verify — the vector twin of the MinHash sketch-then-verify pipeline
+    * (q28), with the same b-bands × r-planes knob set as q22's 32×4 MinHash
+    * banding. A pair is a candidate when any band's r sign bits collide, so
+    * for random vectors the expected candidate volume is b·n²/2^r (2^r
+    * buckets per band) and pair recall at plane-agreement probability
+    * p = 1 − θ/π follows the standard S-curve 1 − (1 − p^r)^b: r is the
+    * VOLUME knob, b the RECALL knob. The driver query runs 8 bands × 4
+    * planes (32 hyperplanes, fully DuckDB-oracled); at 10^9 vectors the same
+    * code runs r = 24–32 (16M–4G buckets per band ⇒ per-band candidates
+    * n²/2^r ≈ linear-ish) with b sized to the dedup threshold's recall
+    * target. Only candidate pairs — joined back to the embeddings by id —
+    * pay the exact dot product; the candidate join itself carries 20-byte
+    * rows. The brute-force q30 is the small-scale exact baseline; THIS is
+    * the plan that survives 10^9 vectors.
+    */
+  def cosineLshVerify(e: DataFrame, bands: Int, planesPerBand: Int,
+      minCos: Double): DataFrame = {
+    val sig = bandedSignature(e, bands, planesPerBand)
+    val cand = sig.as("a").join(sig.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    cand.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
+      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= minCos)
+      .select(col("vec_a"), col("vec_b"),
         round(col("cos") * 10000).cast("long").as("cos_x10000"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  def q35CosineLshVerify(s: SparkSession, dir: String): DataFrame =
+    cosineLshVerify(emb(s, dir), bands = 8, planesPerBand = 4, minCos = 0.35)
 
   /** IVF (inverted-file) search — assignment + probe, the step beyond the
     * [[q33Centroids]] build. The per-label mean centroids act as the coarse
@@ -189,15 +223,22 @@ object VectorOps {
         (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
       lit(0.0), (acc, v) => acc + v)
     // assignment: argmin over k (d2, label) structs — ties break to the
-    // lower label, matching the oracle's ORDER BY d2, label
+    // lower label, matching the oracle's ORDER BY. d2 is ROUNDED to a fixed
+    // integer scale (×10⁶) in BOTH engines before the argmin: Spark folds
+    // the 64 dims sequentially while DuckDB's hash agg sums in arbitrary
+    // order, and non-associative FP addition could otherwise flip the
+    // cluster pick for near-equidistant vectors.
+    def d2r(c: Array[Double]): Column = round(d2(c) * 1e6).cast("long")
     val best = array_min(array(cent.map { case (lbl, c) =>
-      struct(d2(c).as("d2"), lit(lbl).as("cluster")) }: _*))
+      struct(d2r(c).as("d2r"), lit(lbl).as("cluster")) }: _*))
     val assigned = e.withColumn("cluster", best.getField("cluster"))
-    // probe selection for the query vector (vec_id = 0), driver-side
+    // probe selection for the query vector (vec_id = 0), driver-side —
+    // same ×10⁶ rounding as the distributed assignment
     val qEmb: Array[Float] = e.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
     val probes: Seq[Int] = cent.map { case (lbl, c) =>
-      (c.indices.map(i => (qEmb(i).toDouble - c(i)) * (qEmb(i).toDouble - c(i))).sum, lbl)
+      (math.round(c.indices.map(i =>
+        (qEmb(i).toDouble - c(i)) * (qEmb(i).toDouble - c(i))).sum * 1e6), lbl)
     }.sorted.take(2).map(_._2).toSeq
     val q = broadcast(e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qe")))
@@ -301,9 +342,11 @@ object VectorOps {
            FROM ex e JOIN c ON e.i = c.i GROUP BY 1, 2),
          assign AS (SELECT vec_id, label AS cluster FROM (
              SELECT vec_id, label,
-                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY CAST(ROUND(d2 * 1000000) AS BIGINT), label) AS rn
              FROM d) WHERE rn = 1),
-         probe AS (SELECT label FROM d WHERE vec_id = 0 ORDER BY d2, label LIMIT 2),
+         probe AS (SELECT label FROM d WHERE vec_id = 0
+                   ORDER BY CAST(ROUND(d2 * 1000000) AS BIGINT), label LIMIT 2),
          nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nn FROM ex GROUP BY 1),
          cand AS (
            SELECT vec_id, cluster FROM assign
@@ -322,14 +365,15 @@ object VectorOps {
            FROM embeddings, generate_series(1, 64) AS g(i)),
          proj AS (
            SELECT vec_id, j, SUM(x * (((((i-1)*31 + j*17) % 7) - 3))) AS p
-           FROM ex CROSS JOIN generate_series(0, 7) AS jj(j) GROUP BY 1, 2),
-         bucket AS (
-           SELECT vec_id, CAST(SUM(CASE WHEN p >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
-           FROM proj GROUP BY 1),
+           FROM ex CROSS JOIN generate_series(0, 31) AS jj(j) GROUP BY 1, 2),
+         bandbits AS (
+           SELECT vec_id, j // 4 AS band,
+             CAST(SUM(CASE WHEN p >= 0 THEN (1::BIGINT << (j % 4)) ELSE 0 END) AS BIGINT) AS bits
+           FROM proj GROUP BY 1, 2),
          cand AS (
-           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-           FROM bucket a JOIN bucket b
-             ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+           SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           FROM bandbits a JOIN bandbits b
+             ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id),
          nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nn FROM ex GROUP BY 1),
          dots AS (
            SELECT c.vec_a, c.vec_b, SUM(ea.x * eb.x) AS d
