@@ -51,6 +51,64 @@ object CrawlEngine {
   trait StepListener {
     def onStepCommitted(step: Int, stepLog: Dataset[FetchLog]): Unit
   }
+
+  /** Byte-free per-outcome metadata — the single-collect envelope of the
+    * tiny-wave superstep path: one scan of the landed raw table feeds the
+    * sizing stats, item decisions, spawn candidates, job-state updates,
+    * fetch log and archive rows, replacing ~5 driver jobs per superstep.
+    * `itemMeta` rows are (pos, key, image_id, phash).
+    */
+  private[engine] case class OutcomeMeta(
+      job: CrawlJob, status: Int, action: String, hasNextPage: Boolean,
+      newState: Map[String, String], spawned: Seq[SpawnedJob],
+      itemMeta: Seq[(Int, String, String, Long)])
+
+  /** Job-state transition for one fetched job — the reference worker's
+    * post-job bookkeeping (pagination worker.js:223-233, finish 137-142,
+    * retry spider.js:226-248), shared verbatim by the tiny-wave driver loop
+    * and the distributed Dataset map so the two paths cannot drift.
+    */
+  private[engine] def advance(job: CrawlJob, action: String,
+      hasNextPage: Boolean, newState: Map[String, String], nSpawned: Int,
+      created: Long, updated: Long, stepNow: Int, transitionDelay: Int,
+      backoffSteps: Int): CrawlJob = {
+    val stats2 = job.stats.copy(
+      pages = job.stats.pages + (if (action == "ok") 1 else 0),
+      items = job.stats.items + created.toInt,
+      updated = job.stats.updated + updated.toInt,
+      spawned = job.stats.spawned + nSpawned)
+    val started = if (job.state.startedStep < 0) stepNow else job.state.startedStep
+    action match {
+      case "ok" if hasNextPage =>
+        job.copy(stats = stats2,
+          notBeforeStep = stepNow + 1 + transitionDelay,
+          state = job.state.copy(currentPage = job.state.currentPage + 1,
+            startedStep = started,
+            data = job.state.data ++ newState))
+      case "ok" =>
+        job.copy(stats = stats2,
+          state = job.state.copy(finished = true, startedStep = started,
+            finishedStep = stepNow, data = job.state.data ++ newState))
+      case "retry" =>
+        job.copy(errorCount = job.errorCount + 1,
+          notBeforeStep = stepNow + 1 + backoffSteps,
+          stats = stats2,
+          state = job.state.copy(startedStep = started))
+      case _ => // stop or redirect: this job terminates
+        job.copy(stats = stats2,
+          state = job.state.copy(finished = true, startedStep = started,
+            finishedStep = stepNow))
+    }
+  }
+
+  /** The step's [[FetchLog]] row for one fetched job — shared by both paths. */
+  private[engine] def logRow(stepNow: Int, job: CrawlJob, status: Int,
+      action: String, hasNextPage: Boolean, nSpawned: Int,
+      created: Long, updated: Long): FetchLog =
+    FetchLog(stepNow, job.host, job.urlKey, job.url, job.routeId,
+      job.state.currentPage, status, job.priority, job.createdStep,
+      action, job.errorCount, nSpawned, created, updated,
+      finished = action != "retry" && !(action == "ok" && hasNextPage))
 }
 
 case class EngineConfig(
@@ -82,9 +140,20 @@ case class EngineConfig(
       * connections to that host with no inter-request delay — a weaker
       * politeness posture than the reference's per-route concurrency gate
       * (nest.js:238-261). Synthetic-fetcher benches opt into 8 explicitly;
-      * real fetchers should raise it only with a per-task rate limiter.
+      * real fetchers should raise it only together with [[hostMinDelayMs]].
       */
     fetchSplits: Int = 1,
+    /** Engine-wide target minimum milliseconds between successive fetch
+      * STARTS to one host (0 = off). Enforced as a per-task token-bucket
+      * min-gap of `hostMinDelayMs × fetchSplits`: a host spans at most
+      * `fetchSplits` concurrent tasks, so the aggregate host rate is
+      * bounded at ~1/hostMinDelayMs even when fetchSplits > 1 — the wall-
+      * clock politeness floor the reference's `transitionDelay`
+      * (src/route.js:59) paces only same-job pages for. Logical (step-
+      * count) politeness — hostBudget, crawl-delay — is unchanged; this is
+      * the real-time complement for production fetchers.
+      */
+    hostMinDelayMs: Int = 0,
     /** Keep AQE on inside supersteps. Default off: AQE materializes every
       * query stage as its own job, which at superstep cadence multiplies
       * scheduler+planning overhead ~2× (measured); skew is already handled
@@ -95,6 +164,14 @@ case class EngineConfig(
     aqeInSteps: Boolean = false,
     /** probe the seen-set via broadcast sketches while total size fits. */
     bloomBroadcastMaxBytes: Long = 256L << 20,
+    /** Hash buckets (`pmod(urlKey, N)` partition dirs) of the finished-job
+      * archive. The bloom-positive exact-seen probe prunes its archive scan
+      * to the buckets of the positive keys instead of column-scanning every
+      * archived key — at 10^10 finished URLs a per-step full scan of the
+      * archive is a driver-cost cliff. 64 buckets ⇒ a probe of k keys reads
+      * ≤ min(k, 64)/64 of the archive's files.
+      */
+    archiveBuckets: Int = 64,
     /** route every fetch through the dynamic fetcher — the reference's
       * FORCE_DYNAMIC env switch (spider.js:21,52). */
     forceDynamic: Boolean = false,
@@ -223,6 +300,14 @@ final class CrawlEngine(
     * the delta dirs each superstep. Invalidated by [[compactItems]] (which
     * switches suppression to live-set semantics). */
   private var itemMetaCache: Option[(Int, DataFrame)] = None
+  /** Driver-side mirror of [[itemMetaCache]]'s (key, phash) rows while the
+    * landed-item count stays ≤ driverCollectMaxRows — the tiny-wave
+    * suppression probe then runs with ZERO Spark jobs (the per-step
+    * distributed existing-meta scan was the largest remaining flat cost of
+    * a toy-scale superstep). None above the cap or after a distributed-path
+    * step; the distributed probe takes over with identical semantics.
+    */
+  private var itemMetaLocal: Option[Array[(String, Long)]] = None
 
   // ---- exact driver-side run accounting --------------------------------
   // Maintained while every superstep since seed() ran in THIS engine
@@ -240,27 +325,53 @@ final class CrawlEngine(
   private var itemsAcc = 0L
   private var dlAcc = 0L
 
-  private def awaitCommit(): Unit = commitInFlight.foreach { f =>
-    import scala.concurrent.Await
-    import scala.concurrent.duration.Duration
-    try Await.result(f, Duration.Inf)
-    finally commitInFlight = None
+  /** A failed background commit POISONS the engine: the in-memory twin
+    * (issuedState/frontierCache/shardCache) is already at v+1 but v+1's
+    * step dirs were never written, so continuing would commit v+2 over a
+    * hole (suppressed items resurrecting, a silently lost fetch-log step).
+    * The failure is latched and rethrown from EVERY subsequent await — a
+    * caller that catches the first throw cannot step() past it. Recovery =
+    * a fresh engine resume()d from the last committed snapshot.
+    */
+  private var commitFailed: Option[Throwable] = None
+
+  private def awaitCommit(): Unit = {
+    commitFailed.foreach(e => throw new IllegalStateException(
+      "engine poisoned by an earlier background-commit failure; " +
+        "resume() a fresh engine from the last committed snapshot", e))
+    commitInFlight.foreach { f =>
+      import scala.concurrent.Await
+      import scala.concurrent.duration.Duration
+      try Await.result(f, Duration.Inf)
+      catch { case e: Throwable => commitFailed = Some(e); throw e }
+      finally commitInFlight = None
+    }
   }
 
   /** Superstep-scoped session conf (restored after): see
     * [[EngineConfig.aqeInSteps]]. The fetch stage's parallelism is pinned by
     * an explicit repartition count (Politeness.wave) either way.
+    * `shuffleParts`, when set, also narrows `spark.sql.shuffle.partitions`
+    * for the step — a tiny pending frontier otherwise pays full-width
+    * exchanges (32 near-empty tasks per politeness window) purely in
+    * scheduler latency.
     */
-  private def withEngineConf[T](body: => T): T = {
-    val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, cfg.aqeInSteps.toString)
-    try body
-    finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None => spark.conf.unset(key)
+  private def withStepConf[T](shuffleParts: Option[Int])(body: => T): T = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevA = spark.conf.getOption(aqeKey)
+    val prevS = spark.conf.getOption(spKey)
+    spark.conf.set(aqeKey, cfg.aqeInSteps.toString)
+    shuffleParts.foreach(p => spark.conf.set(spKey, p.toString))
+    def restore(k: String, prev: Option[String]): Unit = prev match {
+      case Some(p) => spark.conf.set(k, p)
+      case None => spark.conf.unset(k)
     }
+    try body
+    finally { restore(aqeKey, prevA); restore(spKey, prevS) }
   }
+
+  private def withEngineConf[T](body: => T): T = withStepConf(None)(body)
 
   private val routesBc = spark.sparkContext.broadcast(routes)
   private val fetcherBc = spark.sparkContext.broadcast(fetcher)
@@ -310,11 +421,47 @@ final class CrawlEngine(
   // frontier — scanned, rewritten and snapshotted EVERY superstep — stays
   // O(pending jobs); a months-long 10^10-URL crawl would otherwise pay
   // O(all jobs ever) per step on each of those. The archive is read only by
-  // the [[frontier]] accessor (union view) and by the seen-set EXACT check,
-  // which scans just its 8-byte urlKey column and only on bloom-positive
-  // steps (on a real deployment, bucket this table by urlKey for partition
-  // pruning of that probe).
+  // the [[frontier]] accessor (union view) and by the seen-set EXACT check.
+  // Each step dir is sub-partitioned by `bucket = pmod(urlKey,
+  // archiveBuckets)`, so the bloom-positive probe PRUNES to the buckets of
+  // its positive keys (asserted by PlanSpec) instead of scanning every
+  // archived key — the remaining O(all-jobs-ever) term of a superstep.
   private def archiveDir = s"${cfg.statePath}/jobs_done"
+
+  private def writeArchive(finished: DataFrame, step: Int): Unit =
+    finished
+      .withColumn("bucket", pmod(col("urlKey"), lit(cfg.archiveBuckets)).cast("int"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$archiveDir/step=$step")
+
+  /** The archive rows up to `upToStep`, with `bucket`+`step` partition
+    * columns exposed for pruning; None when nothing is archived yet.
+    * Callers must [[awaitCommit]] first (a commit appends a step dir).
+    */
+  private def readArchive(upToStep: Int): Option[DataFrame] = {
+    val d = new java.io.File(archiveDir)
+    if (!d.isDirectory || d.listFiles() == null || d.listFiles().isEmpty) None
+    else Some(spark.read.schema(jobSchema.add("bucket", "int").add("step", "int"))
+      .parquet(archiveDir).filter(col("step") <= upToStep))
+  }
+
+  private def bucketOf(k: Long): Int =
+    (((k % cfg.archiveBuckets) + cfg.archiveBuckets) % cfg.archiveBuckets).toInt
+
+  /** The exact-seen probe's archive leg: scan ONLY the bucket partitions the
+    * sorted bloom-positive keys hash to, then filter to those keys. Package-
+    * visible so PlanSpec can assert the pruning on the plan it executes.
+    */
+  private[graft] def archiveProbePlan(posSorted: Array[Long], upToStep: Int)
+      : Option[DataFrame] =
+    readArchive(upToStep).map { a =>
+      val buckets = posSorted.map(bucketOf).distinct.toSeq
+      val posBc = spark.sparkContext.broadcast(posSorted)
+      val inPos = udf((k: Long) =>
+        java.util.Arrays.binarySearch(posBc.value, k) >= 0)
+      a.filter(col("bucket").isin(buckets: _*))
+        .select(col("urlKey")).filter(inPos(col("urlKey")))
+    }
   private def logDir(name: String) = s"${cfg.statePath}/logs/$name"
 
   private val outcomeSchema =
@@ -425,10 +572,15 @@ final class CrawlEngine(
   }
 
   def currentVersion: Option[Int] = { awaitCommit(); store.latestVersion }
+
+  private lazy val manifestMapper = new com.fasterxml.jackson.databind.ObjectMapper()
   def stepOf(v: Int): Int = {
-    val m = store.manifest(v)
-    """"step":(-?\d+)""".r.findFirstMatchIn(m).map(_.group(1).toInt)
-      .getOrElse(throw new IllegalStateException(s"manifest of v$v lacks step"))
+    // structured parse of the store's JSON manifest (it IS JSON — a regex
+    // scrape would silently break when fields are added or reordered)
+    val node = manifestMapper.readTree(store.manifest(v)).get("step")
+    if (node == null || !node.isNumber)
+      throw new IllegalStateException(s"manifest of v$v lacks step")
+    node.asInt()
   }
 
   /** All jobs ever enqueued: the active (unfinished) frontier plus the
@@ -438,8 +590,8 @@ final class CrawlEngine(
   def frontier: Dataset[CrawlJob] = {
     val v = currentVersion.get
     val active = readFrontier(v)
-    readStepPartitioned(archiveDir, stepOf(v), jobSchema) match {
-      case Some(a) => active.unionByName(a.drop("step").as[CrawlJob])
+    readArchive(stepOf(v)) match {
+      case Some(a) => active.unionByName(a.drop("step", "bucket").as[CrawlJob])
       case None => active
     }
   }
@@ -493,7 +645,8 @@ final class CrawlEngine(
   private def seedResolved(seeds: Seq[(String, String, Map[String, String])]): Unit =
     withEngineConf {
     awaitCommit()
-    issuedState = None; frontierCache = None; itemMetaCache = None; shardCache = None
+    issuedState = None; frontierCache = None; itemMetaCache = None
+    shardCache = None; itemMetaLocal = None
     val seedJobs = seeds.toDF("routeId", "rawUrl", "query")
       .withColumn("url", graft.canon.CanonUdfs.canon_url(col("rawUrl")))
       .withColumn("host", graft.canon.CanonUdfs.url_host(col("url")))
@@ -513,23 +666,48 @@ final class CrawlEngine(
       .as[(Long, String, String, String, Int, Map[String, String])]
       .map { case (k, u, h, r, p, q) => CrawlJob(k, u, h, r, priority = p, query = q) }
 
-    val jobsP = jobs.persist(StorageLevel.MEMORY_AND_DISK)
-    val n = jobsP.count()
-    pendingCount = n
     acctValid = true
     fetchedAcc = 0L; itemsAcc = 0L; dlAcc = 0L
-    val bloom = BloomSeen.insert(
-      BloomSeen.empty(spark, cfg.bloomPartitions, cfg.bloomCapacityPerShard, cfg.bloomFpp),
-      jobsP.map(_.urlKey), cfg.bloomPartitions)
-    store.commit(0, SnapshotStore.manifestJson(
-      "version" -> 0, "step" -> -1, "frontier" -> n)) { dir =>
-      jobsP.write.parquet(s"$dir/frontier")
-      bloom.write.parquet(s"$dir/bloom")
+    if (seeds.size <= math.max(1L, cfg.driverCollectMaxRows / 1024)) {
+      // small-seed fast path: ONE Spark job evaluates the (local-relation)
+      // canon/dedup/robots plan; the bloom shards are built driver-side and
+      // both state tables land coalesced. The seed ALSO primes the frontier
+      // and shard caches, so step 1 never re-reads the v0 snapshot.
+      val jobsArr = jobs.collect()
+      pendingCount = jobsArr.length
+      val byPid = jobsArr.map(_.urlKey)
+        .groupBy(k => BloomSeen.pidOf(k, cfg.bloomPartitions))
+      val shards = BloomSeen
+        .emptyLocal(cfg.bloomPartitions, cfg.bloomCapacityPerShard, cfg.bloomFpp)
+        .map(sh => byPid.get(sh.pid)
+          .map(ks => BloomSeen.insertLocal(sh, ks)).getOrElse(sh))
+      val frontierDs = spark.createDataset(jobsArr.toSeq).coalesce(1)
+      store.commit(0, SnapshotStore.manifestJson(
+        "version" -> 0, "step" -> -1, "frontier" -> jobsArr.length)) { dir =>
+        inParallel(
+          () => frontierDs.write.parquet(s"$dir/frontier"),
+          () => spark.createDataset(shards.toSeq).coalesce(1)
+            .write.parquet(s"$dir/bloom"))
+      }
+      shardCache = Some((0, shards))
+      frontierCache = Some((0, frontierDs))
+    } else {
+      val jobsP = jobs.persist(StorageLevel.MEMORY_AND_DISK)
+      val n = jobsP.count()
+      pendingCount = n
+      val bloom = BloomSeen.insert(
+        BloomSeen.empty(spark, cfg.bloomPartitions, cfg.bloomCapacityPerShard, cfg.bloomFpp),
+        jobsP.map(_.urlKey), cfg.bloomPartitions)
+      store.commit(0, SnapshotStore.manifestJson(
+        "version" -> 0, "step" -> -1, "frontier" -> n)) { dir =>
+        jobsP.write.parquet(s"$dir/frontier")
+        bloom.write.parquet(s"$dir/bloom")
+      }
+      jobsP.unpersist()
     }
     // synchronous commit — the in-memory twin is immediately valid, and its
     // presence marks this engine as fresh-from-seed (vs resumed from disk)
     issuedState = Some((0, -1))
-    jobsP.unpersist()
   }
 
   // ---- one superstep --------------------------------------------------
@@ -538,7 +716,15 @@ final class CrawlEngine(
     * eligible work remains — the analogue of the worker's empty-poll exit
     * (reference: src/worker.js:108-110).
     */
-  def step(): Boolean = withEngineConf {
+  def step(): Boolean = withStepConf(
+    // tiny pending frontier ⇒ narrow the step's exchanges to ~pendingCount
+    // tasks: full-width 32-task windows over a 20-row frontier cost pure
+    // scheduler latency. Unknown or large pendingCount leaves the session
+    // width untouched (bench/production scale, distributed-forced tests).
+    if (pendingCount > 0 && pendingCount <= math.max(1L, cfg.driverCollectMaxRows / 1024))
+      Some(math.min(spark.sessionState.conf.numShufflePartitions.toLong,
+        pendingCount).toInt)
+    else None) {
     // in-memory twin of the store's (version, step) — valid even while the
     // previous commit is still in flight; a resumed engine reads disk (and
     // cannot account exactly — its history is in the logs, not this JVM)
@@ -569,17 +755,31 @@ final class CrawlEngine(
     // every downstream action analyzes a shallow scan instead of re-planning
     // the whole superstep tree — catalyst planning time was ~half of each
     // superstep's wall clock before this (measured via SparkListener).
-    var wave = timed("wave.ckpt")(
-      Politeness.wave(front, s, cfg.hostBudget, routeCaps,
+    // A tiny pending frontier ⇒ the wave is driver-sized by construction:
+    // ONE collect job replaces the checkpoint + count pair, and the fetch
+    // stage repartitions a local relation. Unknown/large frontiers keep the
+    // eager checkpoint (truncates lineage so every downstream action
+    // analyzes a shallow scan — catalyst planning was ~half of superstep
+    // wall clock before it) + cheap count.
+    val tinyFrontier =
+      pendingCount > 0 && pendingCount <= math.max(1L, cfg.driverCollectMaxRows / 1024)
+    def buildWave(atStep: Int): (Dataset[CrawlJob], Long) = {
+      val plan = Politeness.wave(front, atStep, cfg.hostBudget, routeCaps,
         cfg.disabledRoutes, cfg.saltBuckets, hooks.jobFilter)
-      .localCheckpoint(true))
-    // The count (cheap scan of the checkpointed wave) sizes the superstep:
-    // waves under driverCollectMaxRows run the driver-resident plans (wave
-    // keys, item summaries, spawn candidates live driver-side — the exact
-    // politeness envelope the broadcast anti-joins shipped to every executor
-    // anyway, ~10 fewer Spark jobs per superstep); larger waves fall back to
-    // the retained fully-distributed plans.
-    var waveN = timed("wave.count")(wave.count())
+      if (tinyFrontier) {
+        val arr = plan.collect()
+        (spark.createDataset(arr.toSeq), arr.length.toLong)
+      } else {
+        val w = plan.localCheckpoint(true)
+        (w, w.count())
+      }
+    }
+    // The count sizes the superstep: waves under driverCollectMaxRows run
+    // the driver-resident plans (wave keys, item summaries, spawn candidates
+    // live driver-side — the exact politeness envelope the broadcast
+    // anti-joins shipped to every executor anyway, ~10 fewer Spark jobs per
+    // superstep); larger waves fall back to the retained distributed plans.
+    var (wave, waveN) = timed("wave")(buildWave(s))
     if (waveN == 0) {
       // Nothing eligible *now*, but retry-backoff / crawl-delay jobs may be
       // waiting on a future step — jump the clock to the earliest one (the
@@ -594,10 +794,8 @@ final class CrawlEngine(
       val nxt = pending.getInt(0)
       if (nxt <= s) return false // safety: no forward progress possible
       s = nxt
-      wave = Politeness.wave(front, s, cfg.hostBudget, routeCaps,
-          cfg.disabledRoutes, cfg.saltBuckets, hooks.jobFilter)
-        .localCheckpoint(true)
-      waveN = wave.count()
+      val (w2, n2) = buildWave(s)
+      wave = w2; waveN = n2
       if (waveN == 0) { wave.unpersist(); return false }
     }
     val stepNow = s
@@ -610,7 +808,12 @@ final class CrawlEngine(
     val fetchParts = {
       val base = spark.sessionState.conf.numShufflePartitions
       val byWave = ((waveN + cfg.fetchPagesPerTask - 1) / cfg.fetchPagesPerTask).toInt
-      math.max(base, math.min(base * cfg.fetchTaskFactor, byWave))
+      // floor at min(base, waveN): a 19-row wave gets ≤19 tasks, not the
+      // full shuffle-partition count of near-empty launches (the round-2
+      // fixed floor doubled toy-scale superstep cost); big waves keep the
+      // adaptive ~pagesPerTask sizing capped at base × factor
+      val floor = math.max(1L, math.min(base.toLong, waveN)).toInt
+      math.max(floor, math.min(base * cfg.fetchTaskFactor, byWave))
     }
     val waveFetch = wave.repartition(fetchParts,
       col("host"), pmod(col("urlKey"), lit(cfg.fetchSplits)))
@@ -624,32 +827,55 @@ final class CrawlEngine(
     // snapshot commit below (readers filter to committed steps).
     val rawPath = s"$rawDir/step=$stepNow"
     timed("fetch")(
-      FetchStage.run(waveFetch, routesBc, fetcherBc, hooksBc, cfg.forceDynamic)
+      FetchStage.run(waveFetch, routesBc, fetcherBc, hooksBc, cfg.forceDynamic,
+          cfg.hostMinDelayMs.toLong * math.max(1, cfg.fetchSplits))
         .write.mode("overwrite").option("compression", "uncompressed")
         .parquet(rawPath))
     val outcomes = spark.read.schema(outcomeSchema).parquet(rawPath)
 
+    // -- tiny-wave fast path: waves at least 1024× under the driver
+    // threshold collect the step's ENTIRE byte-free outcome metadata in ONE
+    // job (breaching the driver envelope from there would need >1024 items
+    // or links per page ON AVERAGE — far outside any sane scrape; the
+    // threshold is a memory guard with ample headroom, not a budget). The
+    // sizing stats, item tuples, spawn candidates, wave keys, job-state
+    // updates, fetch-log and archive rows are all derived from this single
+    // array — at toy wave sizes the superstep's cost is otherwise ~5 extra
+    // scheduler round-trips of flat latency per step (q50 measured ~2×).
+    // Big waves (bench/production scale) keep the round-2 plans unchanged.
+    val tinyWave = waveN <= cfg.driverCollectMaxRows / 1024
+    val metaLocal: Option[Array[CrawlEngine.OutcomeMeta]] =
+      if (!tinyWave) None
+      else Some(timed("meta.collect")(outcomes
+        .select(col("job"), col("status"), col("action"), col("hasNextPage"),
+          col("newState"), col("spawned"),
+          expr("transform(items, (it, i) -> named_struct(" +
+            "'_1', i, '_2', it.key, '_3', coalesce(it.image_id, ''), " +
+            "'_4', it.phash))").as("itemMeta"))
+        .as[CrawlEngine.OutcomeMeta].collect()))
+
     // -- sizing probe: decides driver-resident vs distributed plans for the
     // item and spawn paths, and (while exact accounting is live) tallies
-    // this step's dead letters + continuing jobs in the SAME narrow agg.
-    // Waves at least 1024× under the threshold with no accounting skip the
-    // probe job entirely: breaching from there would need >1024 items or
-    // links per page ON AVERAGE — far outside any sane scrape, and the
-    // threshold is a driver-memory guard with ample headroom, not an exact
-    // budget.
-    val doProbe = waveN > cfg.driverCollectMaxRows / 1024 || pendingCount >= 0L
+    // this step's dead letters + continuing jobs — free off the tiny-path
+    // meta array, one narrow agg otherwise.
     val (nIncomingItems, nSpawnedUpper, dlStep, contStep) = timed("probe")(
-      if (!doProbe) (0L, 0L, -1L, -1L)
-      else {
-        val r = outcomes.agg(
-          coalesce(sum(size(col("items"))), lit(0L)),
-          coalesce(sum(size(col("spawned"))), lit(0L)),
-          coalesce(sum(when(col("status") >= 400 && col("action") === "stop",
-            1L).otherwise(0L)), lit(0L)),
-          coalesce(sum(when(col("action") === "retry" ||
-            (col("action") === "ok" && col("hasNextPage")), 1L).otherwise(0L)),
-            lit(0L))).head()
-        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      metaLocal match {
+        case Some(rows) =>
+          (rows.iterator.map(_.itemMeta.size.toLong).sum,
+            rows.iterator.map(_.spawned.size.toLong).sum,
+            rows.count(r => r.status >= 400 && r.action == "stop").toLong,
+            rows.count(r => r.action == "retry" ||
+              (r.action == "ok" && r.hasNextPage)).toLong)
+        case None =>
+          val r = outcomes.agg(
+            coalesce(sum(size(col("items"))), lit(0L)),
+            coalesce(sum(size(col("spawned"))), lit(0L)),
+            coalesce(sum(when(col("status") >= 400 && col("action") === "stop",
+              1L).otherwise(0L)), lit(0L)),
+            coalesce(sum(when(col("action") === "retry" ||
+              (col("action") === "ok" && col("hasNextPage")), 1L).otherwise(0L)),
+              lit(0L))).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       })
     val itemsOnDriver = nIncomingItems <= cfg.driverCollectMaxRows
 
@@ -671,18 +897,31 @@ final class CrawlEngine(
     val existingMetaOpt: Option[DataFrame] = itemMetaCache match {
       case Some((`committed`, df)) => Some(df)
       case _ =>
+        itemMetaLocal = None // stale vs the freshly-rebuilt cache
         awaitCommit()
-        if (new java.io.File(rawDir).isDirectory || latestBaseStep >= 0)
-          Some(readItemDeltas(committed, withBytes = false)
+        if (new java.io.File(rawDir).isDirectory || latestBaseStep >= 0) {
+          val df = readItemDeltas(committed, withBytes = false)
             .select(col("key"), col("phash"))
-            .toDF().localCheckpoint(true))
-        else None
+            .toDF().localCheckpoint(true)
+          // resume-time one-off: repopulate the driver mirror while small,
+          // so subsequent tiny steps probe with zero Spark jobs
+          if (tinyWave && df.count() <= cfg.driverCollectMaxRows)
+            itemMetaLocal = Some(df.as[(String, Long)].collect())
+          Some(df)
+        } else None
     }
+    // carries the in-page position so the winner pick below uses the ONE
+    // canonical ordering (srcJob, image_id, pos) — identical to the
+    // read-side re-derivation in readItemDeltas; a divergent tiebreak
+    // (e.g. phash) would let the landed item's phash differ from the one
+    // recorded in the item-meta cache, corrupting later near-dup votes
+    // and breaking resume-identical parity
     val itemMetaDf = outcomes
-      .select(col("job.urlKey").as("srcJob"), explode(expr(
+      .select(col("job.urlKey").as("srcJob"), posexplode(expr(
         "transform(items, it -> named_struct(" +
-          "'key', it.key, 'image_id', it.image_id, 'phash', it.phash))")).as("it"))
-      .select(col("srcJob"), col("it.key").as("key"),
+          "'key', it.key, 'image_id', it.image_id, 'phash', it.phash))"))
+        .as(Seq("pos", "it")))
+      .select(col("srcJob"), col("pos"), col("it.key").as("key"),
         coalesce(col("it.image_id"), lit("")).as("image_id"),
         col("it.phash").as("phash"))
 
@@ -694,34 +933,48 @@ final class CrawlEngine(
     val (flags: Either[Map[Long, (Long, Long)], DataFrame],
          winnersCkpt: Option[DataFrame],
          newMetaOpt: Option[DataFrame],
+         newMetaLocal: Option[Array[(String, Long)]],
          suppressedOut: Option[DataFrame]) = timed("items")(
       if (itemsOnDriver) {
-        val itemTups = itemMetaDf
-          .as[(Long, String, String, Long)]
-          .collect()
-        val existingDf = if (itemTups.nonEmpty) existingMetaOpt else None
+        // (srcJob, pos, key, image_id, phash) — free off the tiny-path meta
+        // array, one collect of the byte-free item projection otherwise
+        val itemTups: Array[(Long, Int, String, String, Long)] = metaLocal match {
+          case Some(rows) => rows.iterator.flatMap(r => r.itemMeta.iterator
+            .map(m => (r.job.urlKey, m._1, m._2, m._3, m._4))).toArray
+          case None => itemMetaDf.as[(Long, Int, String, String, Long)].collect()
+        }
+        // existing side: the driver mirror when valid (zero Spark jobs),
+        // else the distributed (key, phash) scan
+        val existingSide: Option[Either[Array[(String, Long)], DataFrame]] =
+          if (itemTups.isEmpty) None
+          else (itemMetaLocal, existingMetaOpt) match {
+            case (Some(arr), Some(_)) => Some(Left(arr))
+            case (_, Some(df)) => Some(Right(df))
+            case _ => None
+          }
         val (suppressedKeys, existedKeys) = Items.suppressAndSeenSets(
-          itemTups, existingDf, cfg.phashThreshold)
-        val keepTups = itemTups.filterNot { case (_, k, _, _) => suppressedKeys(k) }
-        // one winner per key — lowest (srcJob, image_id), the same
-        // deterministic pick the read-side ranking window makes
-        val winnersFull: Map[String, (Long, String, Long)] =
-          keepTups.groupBy(_._2).map {
-            case (k, rows) => k -> rows.iterator.map(r => (r._1, r._3, r._4)).min
+          itemTups.map(t => (t._1, t._3, t._4, t._5)), existingSide,
+          cfg.phashThreshold)
+        val keepTups = itemTups.filterNot { case (_, _, k, _, _) => suppressedKeys(k) }
+        // one winner per key — lowest (srcJob, image_id, pos): the ONE
+        // canonical ordering, identical to the read-side ranking window
+        // and the distributed twin below
+        val winnersFull: Map[String, (Long, String, Int, Long)] =
+          keepTups.groupBy(_._3).map {
+            case (k, rows) => k -> rows.iterator.map(r => (r._1, r._4, r._2, r._5))
+              .minBy(t => (t._1, t._2, t._3))
           }
         val flagBySrc: Map[Long, (Long, Long)] = winnersFull.groupBy(_._2._1).map {
           case (src, ws) =>
             val created = ws.count { case (k, _) => !existedKeys(k) }
             src -> (created.toLong, (ws.size - created).toLong)
         }
-        val nm =
-          if (winnersFull.isEmpty) None
-          else Some(winnersFull.iterator.map { case (k, w) => (k, w._3) }.toSeq
-            .toDF("key", "phash"))
+        val nmPairs = winnersFull.iterator.map { case (k, w) => (k, w._4) }.toArray
+        val nm = if (nmPairs.isEmpty) None else Some(nmPairs.toSeq.toDF("key", "phash"))
         val sup =
           if (suppressedKeys.isEmpty) None
           else Some(suppressedKeys.toSeq.toDF("key"))
-        (Left(flagBySrc), None, nm, sup)
+        (Left(flagBySrc), None, nm, if (nmPairs.isEmpty) None else Some(nmPairs), sup)
       } else {
         // distributed twin — same outputs, no driver state. The suppressed
         // plan reads only stable inputs (the landed raw table + the meta
@@ -733,7 +986,7 @@ final class CrawlEngine(
         val keptMeta = itemMetaDf.join(suppressed, Seq("key"), "left_anti")
         val win = org.apache.spark.sql.expressions.Window
           .partitionBy(col("key"))
-          .orderBy(col("srcJob").asc, col("image_id").asc)
+          .orderBy(col("srcJob").asc, col("image_id").asc, col("pos").asc)
         // reused by the flag agg, the delta semi-join AND the item-meta
         // cache update (key, phash) → checkpoint once
         val winnersDf = keptMeta
@@ -753,7 +1006,7 @@ final class CrawlEngine(
             sum(when(coalesce(col("existed"), lit(false)), 1L).otherwise(0L))
               .as("updated"))
         (Right(flagDf), Some(winnersDf),
-          Some(winnersDf.select(col("key"), col("phash"))),
+          Some(winnersDf.select(col("key"), col("phash"))), None,
           if (cfg.phashThreshold < 0) None else Some(suppressed))
       })
 
@@ -767,18 +1020,46 @@ final class CrawlEngine(
         case _ => (None, None)
       }
     itemMetaCache = mergedMeta.map((stepNow, _))
+    // driver mirror follows the cache exactly; any case it cannot mirror
+    // (distributed-path step, cap breach) drops it — the distributed probe
+    // then serves subsequent steps with identical semantics
+    itemMetaLocal = (existingMetaOpt, newMetaOpt) match {
+      case (Some(_), Some(_)) => (itemMetaLocal, newMetaLocal) match {
+        case (Some(o), Some(n))
+          if o.length.toLong + n.length <= cfg.driverCollectMaxRows =>
+          Some(o ++ n)
+        case _ => None
+      }
+      case (Some(_), None) => itemMetaLocal
+      case (None, Some(_)) =>
+        newMetaLocal.filter(_.length <= cfg.driverCollectMaxRows)
+      case _ => None
+    }
 
-    // -- spawned-jobs path (byte-free scans of the landed outcomes) -------
-    val spawnedPart = outcomes
-      .select(explode(col("spawned")).as("sj"))
-      .select(col("sj.routeId").as("routeId"), col("sj.url").as("rawUrl"),
-        col("sj.query").as("query"))
-    val redirectPart = outcomes
-      .filter(col("action").startsWith("redirect:"))
-      .select(col("job.routeId").as("routeId"),
-        expr(s"substring(action, ${"redirect:".length + 1})").as("rawUrl"),
-        typedLit(Map.empty[String, String]).as("query"))
-    val spawnedRaw = spawnedPart.unionByName(redirectPart)
+    // -- spawned-jobs path (byte-free scans of the landed outcomes; on the
+    // tiny path a LOCAL relation off the meta array — the canon/robots/
+    // dedup pipeline below is identical, it just never rescans the table)
+    val spawnedRaw = metaLocal match {
+      case Some(rows) =>
+        val sp = rows.iterator.flatMap(_.spawned.iterator
+          .map(s => (s.routeId, s.url, s.query)))
+        val rd = rows.iterator.filter(_.action.startsWith("redirect:"))
+          .map(r => (r.job.routeId, r.action.substring("redirect:".length),
+            Map.empty[String, String]))
+        spark.createDataset((sp ++ rd).toSeq)
+          .toDF("routeId", "rawUrl", "query")
+      case None =>
+        val spawnedPart = outcomes
+          .select(explode(col("spawned")).as("sj"))
+          .select(col("sj.routeId").as("routeId"), col("sj.url").as("rawUrl"),
+            col("sj.query").as("query"))
+        val redirectPart = outcomes
+          .filter(col("action").startsWith("redirect:"))
+          .select(col("job.routeId").as("routeId"),
+            expr(s"substring(action, ${"redirect:".length + 1})").as("rawUrl"),
+            typedLit(Map.empty[String, String]).as("query"))
+        spawnedPart.unionByName(redirectPart)
+    }
     val known = spawnedRaw.filter(col("routeId").isin(routes.keys.toSeq: _*))
     // query-templated spawns (url empty, query set): build the URL through
     // the route's template — reference `route.getUrl(job)` over the spawned
@@ -838,22 +1119,58 @@ final class CrawlEngine(
           // after dedup are spawn-bounded (guarded by driverCollectMaxRows)
           // and byte-free — the same envelope the previous plan shipped via
           // broadcast(probed), minus a checkpoint job, a key collect, and a
-          // re-scan per superstep.
-          val cand = allowedJobsPlan
-            .select(col("urlKey"), col("url"), col("host"), col("routeId"),
-              col("query"))
-            .as[(Long, String, String, String, Map[String, String])]
-            .collect()
+          // re-scan per superstep. On the tiny path even that collect goes
+          // away: the SAME resolve → canonicalize → xxhash64 → dedup →
+          // robots pipeline runs as a driver loop over the meta array
+          // (UrlCanon/urlKeyScala/allowedLocal are the exact functions the
+          // plan's expressions evaluate — pinned by the middle-vs-tiny
+          // parity test), zero Spark jobs.
+          val cand: Array[(Long, String, String, String, Map[String, String])] =
+            metaLocal match {
+              case Some(rows) =>
+                val raw = rows.iterator.flatMap(_.spawned.iterator
+                    .map(s => (s.routeId, s.url, s.query))) ++
+                  rows.iterator.filter(_.action.startsWith("redirect:"))
+                    .map(r => (r.job.routeId,
+                      r.action.substring("redirect:".length),
+                      Map.empty[String, String]))
+                val resolved = raw.filter(t => routes.contains(t._1))
+                  .flatMap { case (rid, u, q) =>
+                    val qq = Option(q).getOrElse(Map.empty[String, String])
+                    val ru =
+                      if (u != null && u.nonEmpty) u
+                      else try routes(rid).urlTemplate(qq)
+                      catch { case _: Exception => "" }
+                    if (ru.isEmpty) None
+                    else {
+                      val cu = UrlCanon.canonicalize(ru)
+                      Some((graft.canon.CanonUdfs.urlKeyScala(cu), cu,
+                        UrlCanon.host(cu), rid, qq))
+                    }
+                  }
+                resolved.toArray.groupBy(_._1)
+                  .map { case (_, g) => g.minBy(_._4) } // dedup: min routeId per key
+                  .filter(c => Robots.allowedLocal(c._2, c._3, robotsRules))
+                  .toArray
+              case None => allowedJobsPlan
+                .select(col("urlKey"), col("url"), col("host"), col("routeId"),
+                  col("query"))
+                .as[(Long, String, String, String, Map[String, String])]
+                .collect()
+            }
           val candKeys = cand.map(_._1)
           val might = BloomSeen.probeLocal(shards, candKeys, cfg.bloomPartitions)
           val posSet = candKeys.iterator.zip(might.iterator)
             .collect { case (k, true) => k }.toSet
           // Exact check only on the bloom-positive sliver (true hits +
-          // fpp·new): the active frontier AND the finished-job archive are
-          // column-scanned on urlKey, never shuffled. Reading the archive
-          // awaits any in-flight commit (it appends a step dir) — usually a
-          // no-op since the commit overlapped the whole fetch; spawn-free
-          // steps (posSet empty) never touch it.
+          // fpp·new): the active frontier is column-scanned on urlKey,
+          // never shuffled; the archive leg prunes to the positive keys'
+          // bucket partitions (archiveProbePlan — PlanSpec-asserted), so
+          // a probe of k keys touches ≤ min(k, archiveBuckets) buckets of
+          // the all-jobs-ever table, not every archived key. Reading the
+          // archive awaits any in-flight commit (it appends a step dir) —
+          // usually a no-op since the commit overlapped the whole fetch;
+          // spawn-free steps (posSet empty) never touch it.
           val confirmedSeen: Set[Long] =
             if (posSet.isEmpty) Set.empty
             else {
@@ -865,9 +1182,8 @@ final class CrawlEngine(
                 .filter(inPos(col("urlKey")))
                 .as[Long].collect().toSet
               awaitCommit()
-              val archSeen = readStepPartitioned(archiveDir, committed, jobSchema)
-                .map(_.select(col("urlKey")).filter(inPos(col("urlKey")))
-                  .as[Long].collect().toSet)
+              val archSeen = archiveProbePlan(posSorted, committed)
+                .map(_.as[Long].collect().toSet)
                 .getOrElse(Set.empty[Long])
               activeSeen ++ archSeen
             }
@@ -894,10 +1210,18 @@ final class CrawlEngine(
             broadcast(probed.filter(col("might")).drop("might")),
             Seq("urlKey"), "left_semi")
           // distributed path already awaited (readBloom above) — the archive
-          // dirs up to `committed` are fully landed
-          val seenEver = readStepPartitioned(archiveDir, committed, jobSchema) match {
+          // dirs up to `committed` are fully landed. The archive leg joins
+          // on (bucket, urlKey) against the broadcast maybe-seen keys:
+          // bucket is the archive's partition column, so dynamic partition
+          // pruning can drop non-matching bucket dirs before the scan.
+          val bucketsN = cfg.archiveBuckets
+          val seenEver = readArchive(committed) match {
             case Some(a) => front.select(col("urlKey"))
-              .unionByName(a.select(col("urlKey")))
+              .unionByName(a
+                .join(broadcast(maybeSeen.select(col("urlKey"),
+                  pmod(col("urlKey"), lit(bucketsN)).cast("int").as("bucket"))),
+                  Seq("bucket", "urlKey"), "left_semi")
+                .select(col("urlKey")))
             case None => front.select(col("urlKey"))
           }
           val seenConfirmed = seenEver
@@ -922,79 +1246,87 @@ final class CrawlEngine(
       case Right(_) => acctValid = false
     }
 
-    // -- job-state updates ----------------------------------------------
+    // -- job-state updates + fetch log -----------------------------------
     // locals only in executor closures — capturing fields would serialize `this`
     val routesLocal = routesBc
     val backoffLocal = cfg.retryBackoffSteps
-    // byte-free projection: (job, status, action, hasNext, newState,
-    // nSpawned) + the per-job created/updated item flags, attached either
-    // from the driver-resident flag map (one broadcast) or by a left join
-    // with the distributed flag frame — identical downstream code.
-    val metaDs = outcomes.select(col("job").as("_1"), col("status").as("_2"),
-        col("action").as("_3"), col("hasNextPage").as("_4"),
-        col("newState").as("_5"), size(col("spawned")).as("_6"))
-      .as[(CrawlJob, Int, String, Boolean, Map[String, String], Int)]
-    val metaFlagged: Dataset[(CrawlJob, Int, String, Boolean, Map[String, String], Int, Long, Long)] =
-      flags match {
-        case Left(flagBySrc) =>
-          val flagBc = spark.sparkContext.broadcast(flagBySrc)
-          metaDs.map { case (job, st, a, h, ns, n) =>
-            val (c, u) = flagBc.value.getOrElse(job.urlKey, (0L, 0L))
-            (job, st, a, h, ns, n, c, u)
+    // Both paths run the SAME transition function (CrawlEngine.advance /
+    // logRow). Tiny path: one driver loop over the meta array (flags are
+    // the driver map by construction) → local relations, no re-scan of the
+    // landed table for the state rewrite, the fetch-log write OR the
+    // archive write. Distributed path: a byte-free Dataset projection with
+    // flags attached by broadcast map or left join.
+    val (updatedWave: Dataset[CrawlJob], stepFetchLog: DataFrame) =
+      (metaLocal, flags) match {
+        case (Some(rows), Left(flagBySrc)) =>
+          val upd = rows.map { r =>
+            val (c, u) = flagBySrc.getOrElse(r.job.urlKey, (0L, 0L))
+            val tdel = routes.get(r.job.routeId).map(_.transitionDelay).getOrElse(0)
+            CrawlEngine.advance(r.job, r.action, r.hasNextPage, r.newState,
+              r.spawned.size, c, u, stepNow, tdel, backoffLocal)
           }
-        case Right(flagDf) =>
-          metaDs.join(flagDf.withColumnRenamed("srcJob", "jk"),
-              col("_1.urlKey") === col("jk"), "left")
-            .select(col("_1"), col("_2"), col("_3"), col("_4"), col("_5"),
-              col("_6"), coalesce(col("created"), lit(0L)).as("_7"),
-              coalesce(col("updated"), lit(0L)).as("_8"))
-            .as[(CrawlJob, Int, String, Boolean, Map[String, String], Int, Long, Long)]
+          val logs = rows.map { r =>
+            val (c, u) = flagBySrc.getOrElse(r.job.urlKey, (0L, 0L))
+            CrawlEngine.logRow(stepNow, r.job, r.status, r.action,
+              r.hasNextPage, r.spawned.size, c, u)
+          }
+          (spark.createDataset(upd.toSeq).coalesce(1),
+            spark.createDataset(logs.toSeq).coalesce(1).toDF())
+        case _ =>
+          val metaDs = outcomes.select(col("job").as("_1"), col("status").as("_2"),
+              col("action").as("_3"), col("hasNextPage").as("_4"),
+              col("newState").as("_5"), size(col("spawned")).as("_6"))
+            .as[(CrawlJob, Int, String, Boolean, Map[String, String], Int)]
+          val metaFlagged: Dataset[(CrawlJob, Int, String, Boolean, Map[String, String], Int, Long, Long)] =
+            flags match {
+              case Left(flagBySrc) =>
+                val flagBc = spark.sparkContext.broadcast(flagBySrc)
+                metaDs.map { case (job, st, a, h, ns, n) =>
+                  val (c, u) = flagBc.value.getOrElse(job.urlKey, (0L, 0L))
+                  (job, st, a, h, ns, n, c, u)
+                }
+              case Right(flagDf) =>
+                metaDs.join(flagDf.withColumnRenamed("srcJob", "jk"),
+                    col("_1.urlKey") === col("jk"), "left")
+                  .select(col("_1"), col("_2"), col("_3"), col("_4"), col("_5"),
+                    col("_6"), coalesce(col("created"), lit(0L)).as("_7"),
+                    coalesce(col("updated"), lit(0L)).as("_8"))
+                  .as[(CrawlJob, Int, String, Boolean, Map[String, String], Int, Long, Long)]
+            }
+          val upd = metaFlagged.map {
+            case (job, _, action, hasNextPage, newState, nSpawned, created, updated) =>
+              val tdel = routesLocal.value.get(job.routeId)
+                .map(_.transitionDelay).getOrElse(0)
+              CrawlEngine.advance(job, action, hasNextPage, newState,
+                nSpawned, created, updated, stepNow, tdel, backoffLocal)
+          }
+          val logDf = metaFlagged.map {
+            case (job, status, action, hasNext, _, nSpawned, created, updated) =>
+              CrawlEngine.logRow(stepNow, job, status, action, hasNext,
+                nSpawned, created, updated)
+          }.toDF()
+          (upd, logDf)
       }
-    val updatedWave = metaFlagged.map { case (job, _, action, hasNextPage, newState, nSpawned, created, updated) =>
-      val tdel = routesLocal.value.get(job.routeId).map(_.transitionDelay).getOrElse(0)
-      val stats2 = job.stats.copy(
-        pages = job.stats.pages + (if (action == "ok") 1 else 0),
-        items = job.stats.items + created.toInt,
-        updated = job.stats.updated + updated.toInt,
-        spawned = job.stats.spawned + nSpawned)
-      val started = if (job.state.startedStep < 0) stepNow else job.state.startedStep
-      action match {
-        case "ok" if hasNextPage =>
-          job.copy(stats = stats2,
-            notBeforeStep = stepNow + 1 + tdel,
-            state = job.state.copy(currentPage = job.state.currentPage + 1,
-              startedStep = started,
-              data = job.state.data ++ newState))
-        case "ok" =>
-          job.copy(stats = stats2,
-            state = job.state.copy(finished = true, startedStep = started,
-              finishedStep = stepNow, data = job.state.data ++ newState))
-        case "retry" =>
-          job.copy(errorCount = job.errorCount + 1,
-            notBeforeStep = stepNow + 1 + backoffLocal,
-            stats = stats2,
-            state = job.state.copy(startedStep = started))
-        case _ => // stop or redirect: this job terminates
-          job.copy(stats = stats2,
-            state = job.state.copy(finished = true, startedStep = started,
-              finishedStep = stepNow))
-      }
-    }
 
     // -- frontier rewrite + per-host crawl-delay bump --------------------
     // driver-sized waves: keys broadcast → the frontier is narrowly scanned
     // and filtered, never shuffled or joined — the rewrite is one codegen'd
     // pass. Larger waves: plain anti-join, strategy left to Catalyst/AQE.
-    val untouched =
+    val untouched = {
+      // the fetch stage maps wave rows 1:1 to outcomes, so the tiny path's
+      // meta array already holds every wave key — no collect job needed
+      val waveKeysLocal: Option[Array[Long]] =
+        metaLocal.map(_.map(_.job.urlKey).sorted)
       if (waveOnDriver) {
-        val waveKeysBc = spark.sparkContext.broadcast(
-          wave.select(col("urlKey")).as[Long].collect().sorted)
+        val waveKeysBc = spark.sparkContext.broadcast(waveKeysLocal.getOrElse(
+          wave.select(col("urlKey")).as[Long].collect().sorted))
         val notInWave = udf((k: Long) =>
           java.util.Arrays.binarySearch(waveKeysBc.value, k) < 0)
         front.filter(notInWave(col("urlKey"))).as[CrawlJob]
       } else
         front.join(wave.select(col("urlKey")), Seq("urlKey"), "left_anti")
           .as[CrawlJob]
+    }
     // Jobs that finished THIS step leave the hot frontier for the append-
     // only archive (written in the commit below); the versioned frontier —
     // scanned, rewritten and snapshotted every superstep — stays O(pending).
@@ -1008,10 +1340,15 @@ final class CrawlEngine(
       // delayed set collects driver-side at ANY wave size.
       val hostNext: Map[String, Int] =
         if (hostDelay.isEmpty) Map.empty
-        else wave.select(col("host")).distinct()
-          .filter(col("host").isin(hostDelay.keys.toSeq: _*))
-          .as[String].collect()
-          .map(h => h -> (stepNow + hostDelay(h))).toMap
+        else metaLocal match {
+          case Some(rows) => rows.iterator.map(_.job.host)
+            .filter(hostDelay.contains).distinct
+            .map(h => h -> (stepNow + hostDelay(h))).toMap
+          case None => wave.select(col("host")).distinct()
+            .filter(col("host").isin(hostDelay.keys.toSeq: _*))
+            .as[String].collect()
+            .map(h => h -> (stepNow + hostDelay(h))).toMap
+        }
       if (hostNext.isEmpty) frontier2
       else {
         val nextLit = typedLit(hostNext)
@@ -1036,14 +1373,6 @@ final class CrawlEngine(
         shardCache = None
         BloomSeen.insert(readBloom(v), fresh.map(_.urlKey), cfg.bloomPartitions)
     }
-
-    // -- fetch log (single observability write; see FetchLog scaladoc) ----
-    val stepFetchLog = metaFlagged.map { case (job, status, action, hasNext, _, nSpawned, created, updated) =>
-      FetchLog(stepNow, job.host, job.urlKey, job.url, job.routeId,
-        job.state.currentPage, status, job.priority, job.createdStep,
-        action, job.errorCount, nSpawned, created, updated,
-        finished = action != "retry" && !(action == "ok" && hasNext))
-    }.toDF()
 
     // -- append-only writes (invisible until the snapshot commit below) ---
     // full write parallelism — item deltas carry the image bytes, and a
@@ -1088,8 +1417,7 @@ final class CrawlEngine(
             .parquet(s"${logDir("fetchlog")}/step=$stepNow")),
           Some(() => frontier3Ckpt.write.parquet(s"$dir/frontier")),
           Some(() => bloom2.write.parquet(s"$dir/bloom")),
-          Some(() => archivedWave.write.mode("overwrite")
-            .parquet(s"$archiveDir/step=$stepNow")),
+          Some(() => writeArchive(archivedWave.toDF(), stepNow)),
           suppressedOut.map(sup => () => sup.coalesce(1).write.mode("overwrite")
             .parquet(s"$suppressedDir/step=$stepNow"))).flatten: _*)
       }
@@ -1157,9 +1485,10 @@ final class CrawlEngine(
   def compactItems(): Unit = withEngineConf {
     awaitCommit()
     // compaction switches suppression to live-set semantics (superseded
-    // versions no longer vote) — drop the all-delta-rows cache
+    // versions no longer vote) — drop the all-delta-rows cache + its mirror
     itemMetaCache.foreach(_._2.unpersist())
     itemMetaCache = None
+    itemMetaLocal = None
     import java.nio.file.{Files, Paths, StandardCopyOption}
     def deleteRec(p: java.nio.file.Path): Unit =
       if (Files.exists(p)) {

@@ -61,7 +61,12 @@ object FetchStage {
       routes: Broadcast[Map[String, RouteSpec]],
       fetcher: Broadcast[Fetcher],
       hooks: Broadcast[WorkerHooks],
-      forceDynamic: Boolean = false): Dataset[StepOutcome] = {
+      forceDynamic: Boolean = false,
+      /** per-TASK min-gap (ms) between fetch starts to one host — the
+        * engine passes hostMinDelayMs × fetchSplits so the aggregate
+        * host rate stays bounded when a host spans several tasks (see
+        * [[graft.engine.EngineConfig.hostMinDelayMs]]). 0 = off. */
+      perTaskHostGapMs: Long = 0L): Dataset[StepOutcome] = {
     val spark = wave.sparkSession
     import spark.implicits._
     wave.mapPartitions { jobs =>
@@ -71,6 +76,19 @@ object FetchStage {
       // worker.initialize: once per fetch task, before its first job
       // (reference: src/worker.js:57-65); lazily so empty partitions skip it
       lazy val initialized = { hk.initialize.foreach(_.apply()); true }
+      // per-task token bucket: last fetch-start nanos per host. Bounded by
+      // the distinct hosts in this task's slice of the wave (politeness-
+      // bounded), cleared with the task.
+      val lastStart = scala.collection.mutable.HashMap.empty[String, Long]
+      def paceHost(host: String): Unit = if (perTaskHostGapMs > 0) {
+        val gapNs = perTaskHostGapMs * 1000000L
+        lastStart.get(host).foreach { last =>
+          val waitNs = last + gapNs - System.nanoTime()
+          if (waitNs > 0)
+            Thread.sleep(waitNs / 1000000L, (waitNs % 1000000L).toInt)
+        }
+        lastStart(host) = System.nanoTime()
+      }
       jobs.map { job =>
         require(initialized)
         reg.get(job.routeId) match {
@@ -86,6 +104,7 @@ object FetchStage {
                   scraped.hasNextPage, scraped.state)
               case None =>
                 val effUrl = route.paginate(job.url, job.state.currentPage)
+                paceHost(job.host)
                 // static vs dynamic dispatch (reference spider.js:52,185)
                 val page =
                   if (route.dynamic || forceDynamic) f.fetchDynamic(effUrl, job.errorCount)

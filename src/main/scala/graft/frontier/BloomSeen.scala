@@ -35,6 +35,12 @@ object BloomSeen {
       .map(p => BloomShard(p.toInt, serialize(BloomFilter.create(capacityPerShard, fpp))))
   }
 
+  /** Driver-side twin of [[empty]] (small-seed fast path). */
+  def emptyLocal(partitions: Int, capacityPerShard: Long,
+      fpp: Double = 0.01): Array[BloomShard] =
+    Array.tabulate(partitions)(p =>
+      BloomShard(p, serialize(BloomFilter.create(capacityPerShard, fpp))))
+
   /** Fold `keys` into their shards. Runs as a cogroup keyed on pid — each
     * task deserializes one sketch, bulk-inserts its co-partitioned keys, and
     * re-serializes; shards with no new keys pass through untouched.

@@ -42,12 +42,15 @@ object Items {
     * verify, in-batch lower-key-wins.
     *
     * @param incoming (srcJob, key, image_id, phash) per incoming item row
-    * @param existing all prior delta rows, needs columns (key, phash)
+    * @param existing all prior delta rows' (key, phash): Left = a driver-
+    *        resident array (the engine's small-crawl mirror — the probe then
+    *        runs with zero Spark jobs), Right = a DataFrame scanned
+    *        distributed
     * @return (suppressed incoming keys, incoming keys that already exist)
     */
   def suppressAndSeenSets(
       incoming: Array[(Long, String, String, Long)],
-      existing: Option[DataFrame],
+      existing: Option[Either[Array[(String, Long)], DataFrame]],
       t: Int,
       hotBucketCap: Int = 256): (Set[String], Set[String]) = {
     if (incoming.isEmpty) return (Set.empty, Set.empty)
@@ -97,7 +100,26 @@ object Items {
     val incKeys: Set[String] = incoming.map(_._2).toSet
     val (vsExisting, seenKeys) = existing match {
       case None => (Set.empty[String], Set.empty[String])
-      case Some(ex) =>
+      case Some(Left(exArr)) =>
+        // driver-resident existing meta (the engine's tiny-crawl mirror):
+        // the same probe the mapPartitions closure below runs, with zero
+        // Spark jobs — identical math, pinned by the engine's path-parity
+        // tests
+        val sup = Set.newBuilder[String]
+        val seen = Set.newBuilder[String]
+        for ((oldKey, oldPh) <- exArr) {
+          if (t >= 0) {
+            var b = 0
+            while (b < 8) {
+              for ((k, ph) <- probe.getOrElse(bucket(b, band(oldPh, b)), Nil))
+                if (java.lang.Long.bitCount(ph ^ oldPh) <= t) sup += k
+              b += 1
+            }
+          }
+          if (incKeys.contains(oldKey)) seen += oldKey
+        }
+        (sup.result(), seen.result())
+      case Some(Right(ex)) =>
         val spark = ex.sparkSession
         import spark.implicits._
         val probeBc = spark.sparkContext.broadcast(probe.toMap)

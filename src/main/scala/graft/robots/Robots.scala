@@ -43,6 +43,21 @@ object Robots {
       .drop("_rn", "_path", "r_host", "pathPrefix", "allow", "crawlDelaySteps")
   }
 
+  /** Driver-side twin of [[allowed]] for one URL — same longest-prefix rule,
+    * same tiebreak (equal-length prefixes: disallow wins, matching the
+    * window's `allow.asc_nulls_last`), no rule ⇒ allowed. The engine's
+    * tiny-wave spawn path filters driver-resident candidates with this;
+    * parity with the Dataset transform is pinned by the engine's
+    * middle-vs-tiny path test.
+    */
+  def allowedLocal(url: String, host: String, rules: Seq[RobotsRule]): Boolean = {
+    if (rules.isEmpty) return true
+    val path = url.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+    val matches = rules.filter(r => r.host == host && path.startsWith(r.pathPrefix))
+    if (matches.isEmpty) true
+    else matches.minBy(r => (-r.pathPrefix.length, r.allow)).allow
+  }
+
   /** Per-host crawl delay in supersteps (max across the host's rules). */
   def delayByHost(rules: Seq[RobotsRule]): Map[String, Int] =
     rules.filter(_.crawlDelaySteps > 0)

@@ -5,6 +5,23 @@ import graft.engine.{CrawlEngine, EngineConfig}
 import graft.fetch.CorpusFetcher
 import graft.model.RobotsRule
 
+/** Shared recorder for the rate-limiter test: fetch-start events as
+  * (partitionId, host, nanoTime). local[N] executors share the JVM, so a
+  * static concurrent queue observes every task's fetches.
+  */
+object PaceRecorder {
+  val events = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long)]()
+}
+
+/** Delegating fetcher that records each fetch start for pacing asserts. */
+final class PacedFetcher(inner: graft.fetch.Fetcher) extends graft.fetch.Fetcher {
+  override def fetch(url: String, attempt: Int): graft.model.FetchedPage = {
+    PaceRecorder.events.add((org.apache.spark.TaskContext.getPartitionId(),
+      graft.canon.UrlCanon.host(url), System.nanoTime()))
+    inner.fetch(url, attempt)
+  }
+}
+
 /** End-to-end engine invariants — the Spark re-expression of the reference's
   * engine/worker test suite (reference: test/worker.js:90-100 pagination to
   * finish, test/nest.js:56-114 concurrency cap, test/item.js:43-66 upsert).
@@ -120,6 +137,67 @@ class CrawlEngineSpec extends SparkSpec {
     assert(fa.sameElements(fb), "distributed-path frontier/stats differ from driver path")
     assert(a.deadLetters.collect().map(_.urlKey).sorted
       .sameElements(b.deadLetters.collect().map(_.urlKey).sorted))
+  }
+
+  test("middle driver path (probe + per-plan collects) == tiny single-collect path") {
+    // driverCollectMaxRows = 1024 keeps every wave driver-resident but puts
+    // the tiny-path threshold (maxRows/1024) at 1 row, so multi-row waves
+    // run the probe + per-plan-collect middle path; the default config runs
+    // the single-collect tiny path. Items, frontier AND the full fetch log
+    // must be identical.
+    val dirM = tmpDir("engine-middle")
+    val m = new CrawlEngine(spark, routes, fetcher, Nil,
+      EngineConfig(statePath = dirM, hostBudget = 2,
+        bloomPartitions = 4, bloomCapacityPerShard = 1 << 16,
+        driverCollectMaxRows = 1024L))
+    m.seed(SyntheticCorpus.seeds(spec))
+    m.run()
+    val dirT = tmpDir("engine-tiny")
+    val t = newEngine(dirT)
+    t.seed(SyntheticCorpus.seeds(spec))
+    t.run()
+    val im = m.items.collect().map(i => (i.key, i.image_id, i.phash, i.caption)).sortBy(_._1)
+    val it = t.items.collect().map(i => (i.key, i.image_id, i.phash, i.caption)).sortBy(_._1)
+    assert(im.sameElements(it), "middle-path items differ from tiny path")
+    val fm = m.frontier.collect().map(j => (j.urlKey, j.stats, j.state)).sortBy(_._1)
+    val ft = t.frontier.collect().map(j => (j.urlKey, j.stats, j.state)).sortBy(_._1)
+    assert(fm.sameElements(ft), "middle-path frontier differs from tiny path")
+    val lm = m.fetchLog.collect().sortBy(l => (l.step, l.urlKey))
+    val lt = t.fetchLog.collect().sortBy(l => (l.step, l.urlKey))
+    assert(lm.sameElements(lt), "middle-path fetch log differs from tiny path")
+  }
+
+  test("hostMinDelayMs bounds the per-host fetch rate across split tasks") {
+    PaceRecorder.events.clear()
+    val dir = tmpDir("engine-paced")
+    val eng = new CrawlEngine(spark, routes, new PacedFetcher(fetcher), Nil,
+      EngineConfig(statePath = dir, hostBudget = 8, maxSteps = 3,
+        bloomPartitions = 4, bloomCapacityPerShard = 1 << 16,
+        fetchSplits = 2, hostMinDelayMs = 40))
+    eng.seed(SyntheticCorpus.seeds(spec))
+    eng.run()
+    import scala.jdk.CollectionConverters._
+    val ev = PaceRecorder.events.asScala.toSeq
+    assert(ev.nonEmpty)
+    // per-task token bucket: consecutive fetch starts to one host within a
+    // task are ≥ hostMinDelayMs × fetchSplits apart (80 ms; 5 ms timer slack)
+    val perTask = ev.groupBy(e => (e._1, e._2))
+    assert(perTask.exists(_._2.size >= 2), "no task fetched a host twice — pacing unexercised")
+    perTask.foreach { case ((pid, host), es) =>
+      es.map(_._3).sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a >= 75L * 1000000,
+          s"task $pid host $host paced ${(b - a) / 1e6} ms < 80 ms")
+        case _ =>
+      }
+    }
+    // aggregate: with ≤2 tasks per host at 80 ms/task the host-level rate is
+    // bounded at ~1/40 ms — n fetches must span ≥ (n-2) × 40 ms
+    ev.groupBy(_._2).foreach { case (host, es) =>
+      val ts = es.map(_._3).sorted
+      if (ts.size > 2)
+        assert(ts.last - ts.head >= (ts.size - 2).toLong * 40L * 1000000 * 9 / 10,
+          s"host $host aggregate rate breach: ${ts.size} fetches in ${(ts.last - ts.head) / 1e6} ms")
+    }
   }
 
   test("kill after step k → resume → identical final state") {
