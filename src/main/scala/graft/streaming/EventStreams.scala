@@ -34,6 +34,15 @@ object EventStreams {
     * the KeyValueGroupedDataset stateful path (flags users with ≥3
     * consecutive 'error' events; the streaming analogue of the engine's
     * retry/dead-letter accounting).
+    *
+    * MEMORY BOUND: the in-function sort buffers ONE user's events from ONE
+    * micro-batch (`rows` is a single group's slice of the batch), so the
+    * executor bound is max-events-per-user-per-trigger — for clickstream-
+    * shaped data a few thousand rows, never the table. A pathological
+    * single-user firehose should cap the trigger (`maxFilesPerTrigger` /
+    * `maxOffsetsPerTrigger`) or pre-sort within partitions and switch to
+    * flatMapGroupsWithState; the cross-batch streak state itself is O(1)
+    * per user.
     */
   def errorStreaks(events: Dataset[(Long, Long, String)], spark: SparkSession)
       : Dataset[UserSession] = {
