@@ -196,7 +196,19 @@ case class EngineConfig(
       * 10^6-host frontier degrades to slower supersteps instead of a driver
       * OOM. Tests force 0 to pin driver/distributed parity.
       */
-    driverCollectMaxRows: Long = 2000000L)
+    driverCollectMaxRows: Long = 2000000L,
+    /** Upper bound (rows) for the TINY-wave single-collect superstep path —
+      * the driver loop that replaces ~5 Spark jobs per step (see step()).
+      * Deliberately much tighter than driverCollectMaxRows: the tiny path
+      * also hauls each outcome's spawned-job list through one driver
+      * thread, so a 400-listing wave fanning out 100k spawns would turn a
+      * parallel canonicalize into serial driver work — measured as a
+      * ~1.5% N→4N efficiency tax at bench scale. Toy crawls (waves of
+      * dozens) get the ~3× superstep speedup; anything larger keeps the
+      * round-2 parallel plans. Also caps the frontier size for the wave
+      * collect + narrow-shuffle step conf.
+      */
+    tinyWaveMaxRows: Long = 256L)
 
 /** Per-run roll-up returned by [[CrawlEngine.run]]. */
 case class RunSummary(steps: Int, fetched: Long, items: Long, deadLettered: Long)
@@ -308,6 +320,11 @@ final class CrawlEngine(
     * step; the distributed probe takes over with identical semantics.
     */
   private var itemMetaLocal: Option[Array[(String, Long)]] = None
+
+  /** Row bound of the tiny-wave path (see [[EngineConfig.tinyWaveMaxRows]]);
+    * 0 when driverCollectMaxRows forces everything distributed. */
+  private def tinyCap: Long =
+    math.min(cfg.tinyWaveMaxRows, cfg.driverCollectMaxRows / 1024)
 
   // ---- exact driver-side run accounting --------------------------------
   // Maintained while every superstep since seed() ran in THIS engine
@@ -721,7 +738,7 @@ final class CrawlEngine(
     // tasks: full-width 32-task windows over a 20-row frontier cost pure
     // scheduler latency. Unknown or large pendingCount leaves the session
     // width untouched (bench/production scale, distributed-forced tests).
-    if (pendingCount > 0 && pendingCount <= math.max(1L, cfg.driverCollectMaxRows / 1024))
+    if (pendingCount > 0 && pendingCount <= math.max(1L, tinyCap))
       Some(math.min(spark.sessionState.conf.numShufflePartitions.toLong,
         pendingCount).toInt)
     else None) {
@@ -762,7 +779,7 @@ final class CrawlEngine(
     // analyzes a shallow scan — catalyst planning was ~half of superstep
     // wall clock before it) + cheap count.
     val tinyFrontier =
-      pendingCount > 0 && pendingCount <= math.max(1L, cfg.driverCollectMaxRows / 1024)
+      pendingCount > 0 && pendingCount <= math.max(1L, tinyCap)
     def buildWave(atStep: Int): (Dataset[CrawlJob], Long) = {
       val plan = Politeness.wave(front, atStep, cfg.hostBudget, routeCaps,
         cfg.disabledRoutes, cfg.saltBuckets, hooks.jobFilter)
@@ -833,17 +850,17 @@ final class CrawlEngine(
         .parquet(rawPath))
     val outcomes = spark.read.schema(outcomeSchema).parquet(rawPath)
 
-    // -- tiny-wave fast path: waves at least 1024× under the driver
-    // threshold collect the step's ENTIRE byte-free outcome metadata in ONE
-    // job (breaching the driver envelope from there would need >1024 items
-    // or links per page ON AVERAGE — far outside any sane scrape; the
-    // threshold is a memory guard with ample headroom, not a budget). The
+    // -- tiny-wave fast path: waves under tinyCap (≤ tinyWaveMaxRows AND
+    // 1024× under the driver threshold — breaching the envelope from there
+    // would need >1024 items or links per page ON AVERAGE, far outside any
+    // sane scrape) collect the step's ENTIRE byte-free outcome metadata in
+    // ONE job. The
     // sizing stats, item tuples, spawn candidates, wave keys, job-state
     // updates, fetch-log and archive rows are all derived from this single
     // array — at toy wave sizes the superstep's cost is otherwise ~5 extra
     // scheduler round-trips of flat latency per step (q50 measured ~2×).
     // Big waves (bench/production scale) keep the round-2 plans unchanged.
-    val tinyWave = waveN <= cfg.driverCollectMaxRows / 1024
+    val tinyWave = waveN <= tinyCap
     val metaLocal: Option[Array[CrawlEngine.OutcomeMeta]] =
       if (!tinyWave) None
       else Some(timed("meta.collect")(outcomes

@@ -173,9 +173,21 @@ object VectorOps {
     * the plan that survives 10^9 vectors.
     */
   def cosineLshVerify(e: DataFrame, bands: Int, planesPerBand: Int,
-      minCos: Double): DataFrame = {
+      minCos: Double, hotBucketCap: Int = 1024): DataFrame = {
     val sig = bandedSignature(e, bands, planesPerBand)
-    val cand = sig.as("a").join(sig.as("b"),
+    // hot-bucket guard (the same posture as the MinHash df-cap and the
+    // phash-suppression guard): a band bucket holding > cap vectors would
+    // contribute cap²+ candidate pairs on its own — the classic LSH
+    // hot-bucket quadratic failure under clustered/adversarial data. Such
+    // buckets are dropped from candidate generation; the hot set is bounded
+    // by n/cap rows (and by the b·2^r bucket space), so its anti-join side
+    // broadcasts. Sized to bind only on skew at the oracle scales: the cap
+    // is a skew guard, not a sampling knob — r is the volume knob.
+    val hot = sig.groupBy(col("band"), col("bits"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > hotBucketCap)
+      .select(col("band"), col("bits"))
+    val kept = sig.join(broadcast(hot), Seq("band", "bits"), "left_anti")
+    val cand = kept.as("a").join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
@@ -370,9 +382,14 @@ object VectorOps {
            SELECT vec_id, j // 4 AS band,
              CAST(SUM(CASE WHEN p >= 0 THEN (1::BIGINT << (j % 4)) ELSE 0 END) AS BIGINT) AS bits
            FROM proj GROUP BY 1, 2),
+         hot AS (
+           SELECT band, bits FROM bandbits GROUP BY band, bits HAVING COUNT(*) > 1024),
+         kept AS (
+           SELECT b.* FROM bandbits b
+           WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.band = b.band AND h.bits = b.bits)),
          cand AS (
            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-           FROM bandbits a JOIN bandbits b
+           FROM kept a JOIN kept b
              ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id),
          nrm AS (SELECT vec_id, sqrt(SUM(x*x)) AS nn FROM ex GROUP BY 1),
          dots AS (

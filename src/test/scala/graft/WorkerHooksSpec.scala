@@ -126,6 +126,45 @@ class WorkerHooksSpec extends SparkSpec {
       s"finished events $finishedEvents != finished jobs $finishedJobs")
   }
 
+  test("CrawlEvents selectors split a step log into the reference's event streams") {
+    // the reference's per-event callbacks (scraped:page, job:finish,
+    // job:next, jobs:created — worker.js:95-161) as typed filters; their
+    // union/overlap algebra must tie out against the run's own metrics
+    val tallies = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val listener = new CrawlEngine.StepListener {
+      def onStepCommitted(step: Int, log: org.apache.spark.sql.Dataset[graft.engine.FetchLog]): Unit = {
+        import graft.engine.CrawlEvents._
+        val cached = log.cache()
+        try {
+          tallies("scraped") += scrapedPages(cached).count()
+          tallies("finished") += jobsFinished(cached).count()
+          tallies("paginating") += jobsPaginating(cached).count()
+          tallies("retried") += jobsRetried(cached).count()
+          tallies("dead") += jobsDeadLettered(cached).count()
+          tallies("spawnedFrom") += jobsCreated(cached).count()
+          tallies("itemsCreated") += itemsCreated(cached)
+            .collect().map(_.itemsCreated).sum
+        } finally cached.unpersist()
+      }
+    }
+    val eng = new CrawlEngine(spark, routes, fetcher, Nil,
+      EngineConfig(statePath = tmpDir("hooks-events"), hostBudget = 2,
+        phashThreshold = -1, bloomPartitions = 4,
+        bloomCapacityPerShard = 1 << 16), WorkerHooks(), Seq(listener))
+    eng.seed(SyntheticCorpus.seeds(spec))
+    val sum = eng.run()
+    val m = eng.metrics.collect()
+    assert(tallies("scraped") == m.map(_.ok).sum)
+    assert(tallies("retried") == m.map(_.retried).sum)
+    assert(tallies("dead") == sum.deadLettered)
+    assert(tallies("itemsCreated") == sum.items)
+    assert(tallies("finished") == eng.frontier.collect().count(_.state.finished))
+    // every ok fetch either finished its job or paginated on
+    assert(tallies("scraped") ==
+      tallies("paginating") + (tallies("finished") - tallies("dead")))
+    assert(tallies("spawnedFrom") > 0)
+  }
+
   test("custom process bypasses fetch+scrape for matching jobs — engine == oracle") {
     // details are answered synthetically (no fetch, no image decode);
     // listings fall through to the normal path
