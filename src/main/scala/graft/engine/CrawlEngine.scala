@@ -445,11 +445,22 @@ final class CrawlEngine(
   // archived key — the remaining O(all-jobs-ever) term of a superstep.
   private def archiveDir = s"${cfg.statePath}/jobs_done"
 
-  private def writeArchive(finished: DataFrame, step: Int): Unit =
+  private def writeArchive(finished: DataFrame, step: Int): Unit = {
+    // Repartition ON the bucket column first: without it every input task
+    // opens a writer per bucket it sees, so a W-task wave archives up to
+    // W × archiveBuckets tiny files per step (measured ~25k files on the
+    // 51k-row bench wave — a flat, core-count-independent commit cost that
+    // alone broke the N→4N scaling gate). Hash-partitioning by bucket puts
+    // each bucket in exactly one task ⇒ ≤ archiveBuckets files per step,
+    // and the shuffled rows are byte-free job rows (cheap).
+    val parts = math.min(cfg.archiveBuckets,
+      math.max(1, spark.sessionState.conf.numShufflePartitions))
     finished
       .withColumn("bucket", pmod(col("urlKey"), lit(cfg.archiveBuckets)).cast("int"))
+      .repartition(parts, col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$archiveDir/step=$step")
+  }
 
   /** The archive rows up to `upToStep`, with `bucket`+`step` partition
     * columns exposed for pruning; None when nothing is archived yet.
