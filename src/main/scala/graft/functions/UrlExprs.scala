@@ -74,5 +74,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("url_host"),
       new ExpressionInfo(classOf[UrlHostExpr].getName, "url_host"),
       (exprs: Seq[Expression]) => UrlHostExpr(exprs.head)))
+    ext.injectFunction(VecExprs.registration)
   }
 }

@@ -5,10 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (embedding: array<float>).
   *
-  * Cosine math runs on codegen'd higher-order functions (`zip_with` dot
-  * product + `aggregate` fold) — no UDFs, stays inside whole-stage codegen.
-  * Oracles compute the same double-precision arithmetic explicitly in DuckDB
-  * (generate_series element join) and compare ROUNDED integers only.
+  * Cosine math runs on the native codegen'd [[graft.functions.VecDotExpr]]
+  * dot product (a primitive float loop inlined into whole-stage codegen; the
+  * `zip_with`+`aggregate` higher-order form it replaced is CodegenFallback —
+  * an interpreted lambda per element — and dominated the vector pack's
+  * runtime). Its left-to-right double accumulation is fold-order-identical
+  * to the higher-order form. Oracles compute the same double-precision
+  * arithmetic explicitly in DuckDB (generate_series element join) and
+  * compare ROUNDED integers only.
   */
 object VectorOps {
 
@@ -16,8 +20,7 @@ object VectorOps {
     s.read.parquet(s"$dir/embeddings.parquet")
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VecExprs.vec_dot(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -134,27 +137,34 @@ object VectorOps {
       .limit(10)
   }
 
+  /** Fixed-point scale for the LSH projections: embedding floats are
+    * quantized to round(x·2²⁰) BIGINTs, so each projection is an INTEGER
+    * sum — exact, associative, and therefore identical regardless of
+    * aggregation order. That makes the sign bits portable across Spark and
+    * DuckDB's hash aggregate (a double-precision sum is order-dependent, and
+    * a near-zero projection could flip a bucket bit between engines).
+    * float→double is exact, ·2²⁰ is exact (power of two), and
+    * |Σ qx·w| ≤ 64·3·2²⁰·max|x| keeps far inside BIGINT range.
+    */
+  private val ProjScale = graft.functions.VecMath.ProjScale
+
   /** Banded random-hyperplane signature rows `(vec_id, band, bits)` —
     * `bands` × `planesPerBand` hyperplanes total, plane j's portable integer
     * weights w(i,j) = ((i·31 + j·17) mod 7) − 3 (the same deterministic
-    * family as [[q32AnnLsh]]). Band t packs the sign bits of planes
-    * [t·r, t·r+r) into an r-bit value; one projection pass per vector, the
-    * output is byte-free (no embeddings carried into the candidate join).
+    * family as [[q32AnnLsh]], applied to [[ProjScale]]-quantized inputs).
+    * Band t packs the sign bits of planes [t·r, t·r+r) into an r-bit value;
+    * the output is byte-free (no embeddings carried into the candidate join).
+    * The whole signature is ONE native codegen'd expression per row
+    * ([[graft.functions.VecLshBitsExpr]]) — a pure map, no shuffle, and a
+    * 3-node plan. The two shapes this replaced both lost at bench scale: the
+    * per-plane `aggregate(zip_with(...))` fold paid b·r interpreted lambdas
+    * per row, and a b·r-column hash aggregate paid ~10 s of one-time janino
+    * compile for its generated update method.
     */
-  private def bandedSignature(e: DataFrame, bands: Int, planesPerBand: Int): DataFrame = {
-    def proj(j: Int): Column = aggregate(
-      zip_with(col("embedding"), sequence(lit(0), lit(63)),
-        (x, i) => x.cast("double") * (((i * 31 + lit(j * 17)) % 7) - 3).cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val bandStructs = (0 until bands).map { t =>
-      val bits = (0 until planesPerBand).map { k =>
-        when(proj(t * planesPerBand + k) >= 0, lit(1L << k)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("band"), bits.as("bits"))
-    }
-    e.select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bits").as("bits"))
-  }
+  private def bandedSignature(e: DataFrame, bands: Int, planesPerBand: Int): DataFrame =
+    e.select(col("vec_id"),
+      posexplode(graft.functions.VecExprs.vec_lsh_bits(
+        col("embedding"), bands, planesPerBand)).as(Seq("band", "bits")))
 
   /** Embedding near-dup at scale: banded-LSH candidates → EXACT cosine
     * verify — the vector twin of the MinHash sketch-then-verify pipeline
@@ -163,18 +173,23 @@ object VectorOps {
     * for random vectors the expected candidate volume is b·n²/2^r (2^r
     * buckets per band) and pair recall at plane-agreement probability
     * p = 1 − θ/π follows the standard S-curve 1 − (1 − p^r)^b: r is the
-    * VOLUME knob, b the RECALL knob. The driver query runs 8 bands × 4
-    * planes (32 hyperplanes, fully DuckDB-oracled); at 10^9 vectors the same
-    * code runs r = 24–32 (16M–4G buckets per band ⇒ per-band candidates
-    * n²/2^r ≈ linear-ish) with b sized to the dedup threshold's recall
-    * target. Only candidate pairs — joined back to the embeddings by id —
-    * pay the exact dot product; the candidate join itself carries 20-byte
-    * rows. The brute-force q30 is the small-scale exact baseline; THIS is
-    * the plan that survives 10^9 vectors.
+    * VOLUME knob, b the RECALL knob. The driver query runs 16 bands × 8
+    * planes: at the true near-dup threshold cos ≥ 0.9 (p ≈ 0.856) that is
+    * 1 − (1 − p⁸)¹⁶ ≈ 0.996 recall, while candidates stay ≈ b·n²/2⁸ per
+    * band-bucket space instead of round 2's b·n²/2⁴ (r = 4 admitted HALF of
+    * all pairs at bench scale — the verify stage, not the banding, was doing
+    * the work). At 10^9 vectors the same code runs r = 24–32 (16M–4G buckets
+    * per band ⇒ per-band candidates n²/2^r ≈ linear-ish) with b sized to the
+    * dedup threshold's recall target. Only candidate pairs — joined back to
+    * the embeddings by id — pay the exact dot product; the candidate join
+    * itself carries 20-byte rows. The brute-force q30 is the small-scale
+    * exact baseline; THIS is the plan that survives 10^9 vectors.
     */
   def cosineLshVerify(e: DataFrame, bands: Int, planesPerBand: Int,
       minCos: Double, hotBucketCap: Int = 1024): DataFrame = {
-    val sig = bandedSignature(e, bands, planesPerBand)
+    // cached: the signature feeds the hot-bucket aggregate AND both sides of
+    // the candidate self-join — without it the projection aggregate runs 3×
+    val sig = bandedSignature(e, bands, planesPerBand).cache()
     // hot-bucket guard (the same posture as the MinHash df-cap and the
     // phash-suppression guard): a band bucket holding > cap vectors would
     // contribute cap²+ candidate pairs on its own — the classic LSH
@@ -202,8 +217,17 @@ object VectorOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** q35's banding knobs — shared by the Spark plan and the oracle SQL so
+    * the two can never drift. 16×8 = 128 hyperplanes (matching q22's 128
+    * MinHash permutations in spirit: same sketch budget, same band count
+    * order of magnitude).
+    */
+  private[graft] val Q35Bands = 16
+  private[graft] val Q35PlanesPerBand = 8
+
   def q35CosineLshVerify(s: SparkSession, dir: String): DataFrame =
-    cosineLshVerify(emb(s, dir), bands = 8, planesPerBand = 4, minCos = 0.35)
+    cosineLshVerify(emb(s, dir), bands = Q35Bands, planesPerBand = Q35PlanesPerBand,
+      minCos = 0.35)
 
   /** IVF (inverted-file) search — assignment + probe, the step beyond the
     * [[q33Centroids]] build. The per-label mean centroids act as the coarse
@@ -372,15 +396,17 @@ object VectorOps {
          FROM cand c JOIN dots ON dots.vec_id = c.vec_id JOIN nrm ON nrm.vec_id = c.vec_id
          ORDER BY cos_x10000 DESC, c.vec_id ASC LIMIT 10""",
     "q35_cosine_lsh_verify" ->
-      """WITH ex AS (
+      s"""WITH ex AS (
            SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
            FROM embeddings, generate_series(1, 64) AS g(i)),
          proj AS (
-           SELECT vec_id, j, SUM(x * (((((i-1)*31 + j*17) % 7) - 3))) AS p
-           FROM ex CROSS JOIN generate_series(0, 31) AS jj(j) GROUP BY 1, 2),
+           SELECT vec_id, j,
+             SUM(CAST(ROUND(x * ${ProjScale}) AS BIGINT) * (((((i-1)*31 + j*17) % 7) - 3))) AS p
+           FROM ex CROSS JOIN generate_series(0, ${Q35Bands * Q35PlanesPerBand - 1}) AS jj(j)
+           GROUP BY 1, 2),
          bandbits AS (
-           SELECT vec_id, j // 4 AS band,
-             CAST(SUM(CASE WHEN p >= 0 THEN (1::BIGINT << (j % 4)) ELSE 0 END) AS BIGINT) AS bits
+           SELECT vec_id, j // ${Q35PlanesPerBand} AS band,
+             CAST(SUM(CASE WHEN p >= 0 THEN (1::BIGINT << (j % ${Q35PlanesPerBand})) ELSE 0 END) AS BIGINT) AS bits
            FROM proj GROUP BY 1, 2),
          hot AS (
            SELECT band, bits FROM bandbits GROUP BY band, bits HAVING COUNT(*) > 1024),

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.functions.{VecExprs, VecMath}
+
+/** The native vector expressions ([[graft.functions.VecDotExpr]] /
+  * [[graft.functions.VecLshBitsExpr]]) must be bit-identical to the
+  * declarative forms they replaced: vec_dot to the left-to-right
+  * `aggregate(zip_with(...))` double fold, vec_lsh_bits to the quantized
+  * per-plane integer sums the DuckDB oracle computes.
+  */
+class VecExprsSpec extends SparkSpec {
+
+  private def vecsDf(vs: Seq[(Long, Array[Float])]) = {
+    import spark.implicits._
+    vs.toDF("vec_id", "embedding")
+  }
+
+  private val rng = new scala.util.Random(7)
+  private val vecs: Seq[(Long, Array[Float])] = (0L until 20L).map { id =>
+    id -> Array.fill(64)((rng.nextDouble() * 2 - 1).toFloat)
+  }
+
+  test("vec_dot equals the higher-order zip_with/aggregate fold bit-for-bit") {
+    val df = vecsDf(vecs)
+    val hof = aggregate(
+      zip_with(col("a.embedding"), col("b.embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val rows = df.as("a").crossJoin(df.as("b"))
+      .select(VecExprs.vec_dot(col("a.embedding"), col("b.embedding")).as("native"),
+        hof.as("ref"))
+      .collect()
+    assert(rows.length === 400)
+    rows.foreach { case Row(n: Double, r: Double) =>
+      assert(java.lang.Double.doubleToLongBits(n) ===
+        java.lang.Double.doubleToLongBits(r))
+    }
+  }
+
+  test("vec_dot survives both codegen and interpreted eval") {
+    val df = vecsDf(vecs)
+    val q = vecs.head._2
+    val lit64 = array(q.map(f => lit(f)): _*).cast("array<float>")
+    val withCodegen = df.select(round(VecExprs.vec_dot(col("embedding"), lit64) * 1000)
+      .cast("long").as("d")).collect().map(_.getLong(0)).sorted
+    // interpreted: evaluate through the expression directly
+    val interpreted = vecs.map { case (_, v) =>
+      math.round(VecMath.dot(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(q)) * 1000)
+    }.sorted
+    assert(withCodegen.toSeq === interpreted)
+  }
+
+  test("vec_lsh_bits matches per-plane quantized integer sums") {
+    val bands = 4
+    val r = 8
+    val df = vecsDf(vecs)
+    val got = df.select(col("vec_id"),
+        VecExprs.vec_lsh_bits(col("embedding"), bands, r).as("bits"))
+      .collect().map(row => row.getLong(0) -> row.getSeq[Long](1)).toMap
+    vecs.foreach { case (id, v) =>
+      val q = v.map { x =>
+        val d = x.toDouble * (1L << 20).toDouble
+        (if (d >= 0) math.floor(d + 0.5) else -math.floor(-d + 0.5)).toLong
+      }
+      val expect = (0 until bands).map { t =>
+        (0 until r).map { k =>
+          val j = t * r + k
+          val s = q.indices.map(i => q(i) * (((i * 31 + j * 17) % 7) - 3)).sum
+          if (s >= 0) 1L << k else 0L
+        }.sum
+      }
+      assert(got(id) === expect, s"vec $id")
+    }
+  }
+
+  test("vec_lsh_bits rounds negative half-ties away from zero (oracle semantics)") {
+    // x·2^20 = -2.5 exactly ⇒ quantized -3 under HALF_UP-away-from-zero
+    // (math.round would give -2 and diverge from Spark round()/DuckDB ROUND)
+    val x = (-2.5 / (1L << 20).toDouble).toFloat
+    assert((x.toDouble * (1L << 20)).toDouble === -2.5)
+    val df = vecsDf(Seq(0L -> Array.fill(64)(x)))
+    import spark.implicits._
+    val viaRound = df.select(posexplode(col("embedding")).as(Seq("i", "xx")))
+      .select(round(col("xx").cast("double") * (1L << 20)).cast("long").as("q"))
+      .as[Long].head()
+    assert(viaRound === -3L)
+    // and the native quantizer agrees with round(): identical sign bits
+    val nat = df.select(VecExprs.vec_lsh_bits(col("embedding"), 1, 1))
+      .collect().head.getSeq[Long](0)
+    // plane 0 weights over constant -3 dims: sum sign is deterministic;
+    // just assert it matches the reference computation from round()'s value
+    val w = (0 until 64).map(i => ((i * 31) % 7) - 3)
+    val ref = if (w.map(_ * viaRound).sum >= 0) 1L else 0L
+    assert(nat === Seq(ref))
+  }
+}
