@@ -138,7 +138,14 @@ object TextOps {
     * O(candidates × shingles/doc), never all-pairs. Emits pairs with exact
     * J ≥ 0.4 (the 32×4 banding's ~0.42 candidate threshold).
     */
-  def q28MinhashVerify(s: SparkSession, dir: String): DataFrame = {
+  def q28MinhashVerify(s: SparkSession, dir: String): DataFrame =
+    minhashVerifiedPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Unordered (doc_a, doc_b, jac_x1000) pairs with exact J ≥ 0.4 — the
+    * shared sketch-then-verify core of [[q28MinhashVerify]] and the cluster
+    * assignment [[q29DedupClusters]].
+    */
+  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val sets = shingleHashes(docs(s, dir)).cache()
     val cand = minhashCandidates(sets).select(col("doc_a"), col("doc_b"))
     val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
@@ -154,7 +161,26 @@ object TextOps {
         round(lit(1000.0) * col("common") / (col("sza") + col("szb") - col("common"))).cast("long"))
       .filter(col("jac_x1000") >= 400)
       .select(col("doc_a"), col("doc_b"), col("jac_x1000"))
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Duplicate-CLUSTER assignment — the decision stage after pair
+    * detection: connected components over the verified near-dup pairs
+    * ([[minhashVerifiedPairs]]), cluster id = the component's minimum
+    * doc_id, `keep` = 1 for exactly that canonical doc. This is what a
+    * training pipeline actually executes ("drop all but one per duplicate
+    * group"); pairs alone cannot express it when dups are transitive
+    * (A≈B, B≈C, A̸≈C still means keep ONE of {A,B,C}). Components via
+    * [[GraphOps.connectedComponents]] — O(log² n) star-contraction rounds,
+    * no driver-side union-find. Only docs with at least one near-dup appear
+    * (singletons are trivially their own keeper).
+    */
+  def q29DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashVerifiedPairs(s, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    GraphOps.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("cluster"),
+        when(col("node") === col("cluster"), 1L).otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
   }
 
   /** SimHash: 64-bit signature from token-hash bit votes; near-dup pairs via
@@ -258,6 +284,37 @@ object TextOps {
       .select(col("doc_id"), concat_ws(",", col("bottom4").cast("array<string>")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Shared CTE chain of the sketch-then-verify pipeline, ending in CTE
+    * `verified(doc_a, doc_b, jac_x1000)` — the oracle twin of
+    * [[minhashVerifiedPairs]], used by both q28 and q29.
+    */
+  private def minhashVerifySqlCtes: String =
+    s"""$shingleHashesSql,
+         mh AS (
+           SELECT doc_id, p, MIN(${graft.functions.PortableHash.mixSql("shh", "p")}) AS mh
+           FROM shh CROSS JOIN generate_series(0, ${MinhashPerms - 1}) AS pp(p)
+           GROUP BY 1, 2),
+         bands AS (
+           SELECT doc_id, p // $MinhashRowsPerBand AS band,
+                  string_agg(mh::VARCHAR, ':' ORDER BY p) AS sig
+           FROM mh GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY 1),
+         common AS (
+           SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+           FROM cand c JOIN shh sa ON sa.doc_id = c.doc_a
+                       JOIN shh sb ON sb.doc_id = c.doc_b AND sb.shh = sa.shh
+           GROUP BY 1, 2),
+         verified AS (
+           SELECT c.doc_a, c.doc_b,
+             CAST(ROUND(1000.0 * common / (sa.sz + sb.sz - common)) AS BIGINT) AS jac_x1000
+           FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a
+                         JOIN sizes sb ON sb.doc_id = c.doc_b
+           WHERE CAST(ROUND(1000.0 * common / (sa.sz + sb.sz - common)) AS BIGINT) >= 400)"""
+
   val oracle: Map[String, String] = Map(
     "q20_dedup_exact" ->
       """SELECT keeper, n FROM (
@@ -296,31 +353,19 @@ object TextOps {
            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "q28_minhash_verify" ->
-      s"""WITH $shingleHashesSql,
-         mh AS (
-           SELECT doc_id, p, MIN(${graft.functions.PortableHash.mixSql("shh", "p")}) AS mh
-           FROM shh CROSS JOIN generate_series(0, ${MinhashPerms - 1}) AS pp(p)
-           GROUP BY 1, 2),
-         bands AS (
-           SELECT doc_id, p // $MinhashRowsPerBand AS band,
-                  string_agg(mh::VARCHAR, ':' ORDER BY p) AS sig
-           FROM mh GROUP BY 1, 2),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM bands a JOIN bands b
-             ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY 1),
-         common AS (
-           SELECT c.doc_a, c.doc_b, COUNT(*) AS common
-           FROM cand c JOIN shh sa ON sa.doc_id = c.doc_a
-                       JOIN shh sb ON sb.doc_id = c.doc_b AND sb.shh = sa.shh
-           GROUP BY 1, 2)
-         SELECT c.doc_a, c.doc_b,
-           CAST(ROUND(1000.0 * common / (sa.sz + sb.sz - common)) AS BIGINT) AS jac_x1000
-         FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a
-                       JOIN sizes sb ON sb.doc_id = c.doc_b
-         WHERE CAST(ROUND(1000.0 * common / (sa.sz + sb.sz - common)) AS BIGINT) >= 400
-         ORDER BY doc_a, doc_b""",
+      s"""WITH $minhashVerifySqlCtes
+         SELECT doc_a, doc_b, jac_x1000 FROM verified ORDER BY doc_a, doc_b""",
+    "q29_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashVerifySqlCtes,
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM verified
+                   UNION SELECT doc_b, doc_a FROM verified),
+         reach(node, r) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node)
+         SELECT node AS doc_id, MIN(r) AS cluster,
+           CAST(CASE WHEN node = MIN(r) THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM reach GROUP BY node ORDER BY doc_id""",
     "q23_simhash" ->
       s"""WITH tok AS (
            SELECT doc_id, unnest([t for t in string_split(text, ' ') if t <> '']) AS tok
@@ -385,6 +430,7 @@ object TextOps {
     "q21_ngram_jaccard" -> q21NgramJaccard _,
     "q22_minhash_lsh" -> q22MinhashLsh _,
     "q28_minhash_verify" -> q28MinhashVerify _,
+    "q29_dedup_clusters" -> q29DedupClusters _,
     "q23_simhash" -> q23Simhash _,
     "q24_lang_id" -> q24LangId _,
     "q25_quality" -> q25Quality _,
