@@ -229,6 +229,23 @@ object VectorOps {
     cosineLshVerify(emb(s, dir), bands = Q35Bands, planesPerBand = Q35PlanesPerBand,
       minCos = 0.35)
 
+  /** Vector duplicate-CLUSTER assignment — the q29 twin on embeddings:
+    * connected components over q35's verified near-dup pairs, cluster id =
+    * component-min vec_id, one keeper per cluster. Same star-contraction
+    * operator ([[GraphOps.connectedComponents]]), same transitive-dup
+    * rationale: "drop all but one per group" is a component decision, not a
+    * pair decision.
+    */
+  def q36VectorClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = cosineLshVerify(emb(s, dir), bands = Q35Bands,
+      planesPerBand = Q35PlanesPerBand, minCos = 0.35)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+    GraphOps.connectedComponents(pairs)
+      .select(col("node").as("vec_id"), col("cluster"),
+        when(col("node") === col("cluster"), 1L).otherwise(0L).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** IVF (inverted-file) search — assignment + probe, the step beyond the
     * [[q33Centroids]] build. The per-label mean centroids act as the coarse
     * quantizer (k lists): every vector is assigned to its nearest centroid
@@ -396,7 +413,26 @@ object VectorOps {
          FROM cand c JOIN dots ON dots.vec_id = c.vec_id JOIN nrm ON nrm.vec_id = c.vec_id
          ORDER BY cos_x10000 DESC, c.vec_id ASC LIMIT 10""",
     "q35_cosine_lsh_verify" ->
-      s"""WITH ex AS (
+      s"""WITH $lshVerifySqlCtes
+         SELECT vec_a, vec_b, cos_x10000 FROM verified ORDER BY vec_a, vec_b""",
+    "q36_vector_clusters" ->
+      s"""WITH RECURSIVE $lshVerifySqlCtes,
+         edges AS (SELECT vec_a AS u, vec_b AS v FROM verified
+                   UNION SELECT vec_b, vec_a FROM verified),
+         reach(node, r) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e2.v, reach.r FROM reach JOIN edges e2 ON e2.u = reach.node)
+         SELECT node AS vec_id, MIN(r) AS cluster,
+           CAST(CASE WHEN node = MIN(r) THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM reach GROUP BY node ORDER BY vec_id""")
+
+  /** Shared CTE chain of the banded-LSH sketch-then-verify pipeline, ending
+    * in CTE `verified(vec_a, vec_b, cos_x10000)` — the oracle twin of
+    * [[cosineLshVerify]] at the q35 knobs, used by both q35 and q36.
+    */
+  private def lshVerifySqlCtes: String =
+    s"""ex AS (
            SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
            FROM embeddings, generate_series(1, 64) AS g(i)),
          proj AS (
@@ -422,13 +458,13 @@ object VectorOps {
            SELECT c.vec_a, c.vec_b, SUM(ea.x * eb.x) AS d
            FROM cand c JOIN ex ea ON ea.vec_id = c.vec_a
                        JOIN ex eb ON eb.vec_id = c.vec_b AND eb.i = ea.i
-           GROUP BY 1, 2)
-         SELECT d.vec_a, d.vec_b,
-           CAST(ROUND(10000.0 * d.d / (na.nn * nb.nn)) AS BIGINT) AS cos_x10000
-         FROM dots d JOIN nrm na ON na.vec_id = d.vec_a
-                     JOIN nrm nb ON nb.vec_id = d.vec_b
-         WHERE d.d / (na.nn * nb.nn) >= 0.35
-         ORDER BY vec_a, vec_b""")
+           GROUP BY 1, 2),
+         verified AS (
+           SELECT d.vec_a, d.vec_b,
+             CAST(ROUND(10000.0 * d.d / (na.nn * nb.nn)) AS BIGINT) AS cos_x10000
+           FROM dots d JOIN nrm na ON na.vec_id = d.vec_a
+                       JOIN nrm nb ON nb.vec_id = d.vec_b
+           WHERE d.d / (na.nn * nb.nn) >= 0.35)"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_cosine_near_dup" -> q30CosineNearDup _,
@@ -436,5 +472,6 @@ object VectorOps {
     "q32_ann_lsh" -> q32AnnLsh _,
     "q33_centroids" -> q33Centroids _,
     "q34_ivf_search" -> q34IvfSearch _,
-    "q35_cosine_lsh_verify" -> q35CosineLshVerify _)
+    "q35_cosine_lsh_verify" -> q35CosineLshVerify _,
+    "q36_vector_clusters" -> q36VectorClusters _)
 }
