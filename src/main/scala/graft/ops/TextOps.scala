@@ -183,6 +183,57 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The held-out set for [[q37Decontaminate]]: in production this is the
+    * eval benchmark corpus; in the driver testdata, one source stands in.
+    */
+  private val BenchmarkSource = "src0"
+
+  /** Flag a training doc when it shares ≥ this many distinct (df-capped)
+    * shingle hashes with the benchmark set.
+    */
+  private val ContamMinShingles = 8L
+
+  /** Decontamination — the eval-leak check every LLM training pipeline runs
+    * before a data release: flag training documents whose n-gram shingles
+    * overlap a held-out benchmark set. Shape at scale: the benchmark
+    * shingle set is tiny next to the corpus (eval suites are MBs, corpora
+    * are TBs) so it BROADCASTS; the corpus side is one map-side probe +
+    * one groupBy(doc) — no shuffle of corpus shingles against each other,
+    * unlike the dedup self-joins. Stop-phrase shingles are df-capped out
+    * first ([[HotShingleDf]], as q21): a shingle every doc contains carries
+    * no contamination signal and would flag the whole corpus.
+    */
+  def q37Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sh = shingleHashes(d)
+    val hot = sh.groupBy(col("shh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > HotShingleDf).select(col("shh"))
+    val kept = sh.join(broadcast(hot), Seq("shh"), "left_anti")
+    val benchIds = d.filter(col("source") === BenchmarkSource).select(col("doc_id"))
+    val benchSh = kept.join(benchIds, "doc_id").select(col("shh")).distinct()
+    kept.join(benchIds, Seq("doc_id"), "left_anti")
+      .join(broadcast(benchSh), "shh")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= ContamMinShingles)
+      .select(col("doc_id"), col("n_overlap"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic train/val/test assignment — reproducible hash-bucket
+    * splits (90/5/5) that survive reshuffles, repartitions, and reruns:
+    * bucket = affine-mix of doc_id over the portable 31-bit family, so ANY
+    * engine (and any future rerun) derives the identical split. A pure
+    * map — no shuffle, no RNG state. Requires doc_id < 2³¹ (the hash
+    * family's domain); at larger id spaces, mix a 31-bit fold of the id.
+    */
+  def q38TrainSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = PH.mix(col("doc_id"), 0) % 100
+    docs(s, dir).select(col("doc_id"), bucket.as("bucket"),
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+          .as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash: 64-bit signature from token-hash bit votes; near-dup pairs via
     * 8×8-bit band join + exact `bit_count(xor) ≤ 3` (the classic 64-bit
     * simhash near-dup threshold; 8 bands make candidate generation COMPLETE
@@ -355,6 +406,27 @@ object TextOps {
     "q28_minhash_verify" ->
       s"""WITH $minhashVerifySqlCtes
          SELECT doc_a, doc_b, jac_x1000 FROM verified ORDER BY doc_a, doc_b""",
+    "q37_decontaminate" ->
+      s"""WITH $shingleHashesSql,
+         dfreq AS (SELECT shh, COUNT(*) AS df FROM shh GROUP BY 1),
+         kept AS (SELECT s.doc_id, s.shh FROM shh s JOIN dfreq USING (shh)
+                  WHERE df <= $HotShingleDf),
+         bench AS (
+           SELECT DISTINCT k.shh FROM kept k
+           JOIN documents d ON d.doc_id = k.doc_id
+           WHERE d.source = '$BenchmarkSource')
+         SELECT k.doc_id, COUNT(*) AS n_overlap
+         FROM kept k
+         JOIN documents dd ON dd.doc_id = k.doc_id AND dd.source <> '$BenchmarkSource'
+         JOIN bench b ON b.shh = k.shh
+         GROUP BY 1 HAVING COUNT(*) >= $ContamMinShingles
+         ORDER BY k.doc_id""",
+    "q38_train_split" ->
+      s"""SELECT doc_id, ${graft.functions.PortableHash.mixSql("doc_id", "0")} % 100 AS bucket,
+           CASE WHEN ${graft.functions.PortableHash.mixSql("doc_id", "0")} % 100 < 90 THEN 'train'
+                WHEN ${graft.functions.PortableHash.mixSql("doc_id", "0")} % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
     "q29_dedup_clusters" ->
       s"""WITH RECURSIVE $minhashVerifySqlCtes,
          edges AS (SELECT doc_a AS u, doc_b AS v FROM verified
@@ -431,6 +503,8 @@ object TextOps {
     "q22_minhash_lsh" -> q22MinhashLsh _,
     "q28_minhash_verify" -> q28MinhashVerify _,
     "q29_dedup_clusters" -> q29DedupClusters _,
+    "q37_decontaminate" -> q37Decontaminate _,
+    "q38_train_split" -> q38TrainSplit _,
     "q23_simhash" -> q23Simhash _,
     "q24_lang_id" -> q24LangId _,
     "q25_quality" -> q25Quality _,
