@@ -98,6 +98,59 @@ object Images {
   def decode(bytes: Array[Byte]): BufferedImage =
     ImageIO.read(new java.io.ByteArrayInputStream(bytes))
 
+  /** Deterministic area-average resize (the same grid fold [[phash]] uses
+    * for its 32×32 downsample) — unlike `Graphics2D` interpolation hints,
+    * the output is specified arithmetic, identical on every JVM/platform.
+    */
+  def resize(img: BufferedImage, tw: Int, th: Int): BufferedImage = {
+    val accR = new Array[Double](tw * th)
+    val accG = new Array[Double](tw * th)
+    val accB = new Array[Double](tw * th)
+    val cnt = new Array[Long](tw * th)
+    val w = img.getWidth; val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      val gy = y * th / h
+      var x = 0
+      while (x < w) {
+        val gx = x * tw / w
+        val p = img.getRGB(x, y)
+        val i = gy * tw + gx
+        accR(i) += (p >> 16) & 0xFF; accG(i) += (p >> 8) & 0xFF; accB(i) += p & 0xFF
+        cnt(i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < tw * th) {
+      val n = math.max(cnt(i), 1L)
+      val rgb = (math.round(accR(i) / n).toInt << 16) |
+        (math.round(accG(i) / n).toInt << 8) | math.round(accB(i) / n).toInt
+      out.setRGB(i % tw, i / tw, rgb)
+      i += 1
+    }
+    out
+  }
+
+  /** Mean BT.601 luma over all pixels (0..255 scale). */
+  def meanLuma(img: BufferedImage): Double = {
+    var s = 0.0
+    var n = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        s += 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) + 0.114 * (p & 0xFF)
+        n += 1; x += 1
+      }
+      y += 1
+    }
+    s / math.max(n, 1L)
+  }
+
   /** Peak signal-to-noise ratio over 8-bit RGB; Double.PositiveInfinity for
     * identical pixels. The baseline gate is ≥ 40 dB for lossy formats.
     */

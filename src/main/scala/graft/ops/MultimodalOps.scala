@@ -78,6 +78,78 @@ object MultimodalOps {
       .orderBy(col("fmt"))
   }
 
+  /** REAL image resize, distributed: decode → deterministic area-average
+    * 32×32 thumbnail ([[Images.resize]] — specified arithmetic, not a
+    * platform-dependent `Graphics2D` hint) → re-encode PNG, in
+    * mapPartitions. Aggregates are all-integer (counts, byte totals,
+    * luma ×1000 sums) so the output is bit-stable across runs and
+    * partitionings. Deterministic — rows-only check (no SQL codec exists).
+    */
+  def q42Thumbnail(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spec = CorpusSpec(hosts = 2, listPages = 2, detailsPerList = 8)
+    SyntheticCorpus.build(s, spec)
+      .filter(col("routeId") === SyntheticCorpus.DETAIL && col("statusCode") === 200)
+      .as[graft.corpus.CorpusRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = Images.decode(r.body)
+          val thumb = Images.resize(img, 32, 32)
+          val png = Images.encodePng(thumb)
+          (r.fmt, thumb.getWidth.toLong, thumb.getHeight.toLong,
+            png.length.toLong, math.round(Images.meanLuma(thumb) * 1000))
+        }
+      }
+      .toDF("fmt", "tw", "th", "thumb_bytes", "luma_x1000")
+      .groupBy(col("fmt"))
+      .agg(count(lit(1)).as("n"), min(col("tw")).as("tw"), min(col("th")).as("th"),
+        sum(col("thumb_bytes")).as("total_thumb_bytes"),
+        sum(col("luma_x1000")).as("sum_luma_x1000"))
+      .orderBy(col("fmt"))
+  }
+
+  /** Frame sampling over a multi-frame (video stand-in) payload: each row
+    * carries `frames array<binary>`; every `stride`-th frame is picked
+    * DECLARATIVELY (`transform(sequence(...))` over the array — the
+    * projection-pushdown analogue: unsampled frames never reach the
+    * decoder), then only the sampled frames pay the real ImageIO decode +
+    * phash in mapPartitions. At cluster scale the container column is a
+    * video blob + frame index; the plumbing (array column, Catalyst-side
+    * sampling, batched decode) is exactly this. Deterministic — rows-only.
+    */
+  def q43FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val framesPerVideo = 12
+    val stride = 4
+    val vids = s.range(64).as[Long]
+      .mapPartitions { ids =>
+        ids.map { v =>
+          val frames = (0 until framesPerVideo).map(f =>
+            Images.encodePng(Images.synth(v, 64, 48, jitter = f * 0.08))).toArray
+          (v, frames)
+        }
+      }
+      .toDF("video_id", "frames")
+    vids
+      .select(col("video_id"), size(col("frames")).as("n_frames"),
+        expr(s"transform(sequence(0, size(frames)-1, $stride), i -> element_at(frames, i+1))")
+          .as("picked"))
+      .select(col("video_id"), col("n_frames"), posexplode(col("picked")).as(Seq("idx", "frame")))
+      .as[(Long, Int, Int, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (v, nf, _, bytes) =>
+          val img = Images.decode(bytes)
+          (v, nf.toLong, Images.phash(img), math.round(Images.meanLuma(img) * 1000))
+        }
+      }
+      .toDF("video_id", "n_frames", "ph", "luma_x1000")
+      .groupBy(col("video_id"), col("n_frames"))
+      .agg(count(lit(1)).as("n_sampled"),
+        countDistinct(col("ph")).as("n_unique_phash"),
+        sum(col("luma_x1000")).as("sum_luma_x1000"))
+      .orderBy(col("video_id"))
+  }
+
   val oracle: Map[String, String] = Map(
     "q40_decode_stub" ->
       """SELECT doc_id,
@@ -89,5 +161,7 @@ object MultimodalOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_decode_stub" -> q40DecodeStub _,
-    "q41_image_decode" -> q41ImageDecode _)
+    "q41_image_decode" -> q41ImageDecode _,
+    "q42_thumbnail" -> q42Thumbnail _,
+    "q43_frame_sample" -> q43FrameSample _)
 }

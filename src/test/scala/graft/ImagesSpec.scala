@@ -53,6 +53,29 @@ class ImagesSpec extends AnyFunSuite {
     assert(far > 6, s"unrelated pair too close: $far")
   }
 
+  test("resize: exact target dims, deterministic bytes, luma preserved") {
+    val img = Images.synth(17, 96, 64)
+    val t1 = Images.resize(img, 32, 32)
+    val t2 = Images.resize(Images.synth(17, 96, 64), 32, 32)
+    assert(t1.getWidth == 32 && t1.getHeight == 32)
+    // area-average is specified arithmetic — byte-identical across calls
+    assert(java.util.Arrays.equals(Images.encodePng(t1), Images.encodePng(t2)))
+    // averaging pools pixels: mean luma moves only slightly
+    assert(math.abs(Images.meanLuma(t1) - Images.meanLuma(img)) < 4.0)
+    // and a different source yields a different thumbnail
+    val other = Images.resize(Images.synth(99, 96, 64), 32, 32)
+    assert(!java.util.Arrays.equals(Images.encodePng(t1), Images.encodePng(other)))
+  }
+
+  test("frame sampling strides pick ceil(n/stride) frames (q43 shape)") {
+    val q43 = graft.ops.MultimodalOps.q43FrameSample(SparkTestSession.spark, "").collect()
+    assert(q43.length == 64)
+    q43.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") == 3L)   // ceil(12/4)
+      assert(r.getAs[Long]("n_unique_phash") >= 2L) // jittered frames differ
+    }
+  }
+
   test("corpus rows: listing JSON shape and detail payload") {
     val spec = CorpusSpec(hosts = 1, listPages = 2, detailsPerList = 3)
     val l = SyntheticCorpus.listingRow(spec, 0, 1)
