@@ -51,7 +51,8 @@ object GraphOps {
       .filter(col("u") =!= col("v"))
       .distinct()
     var e = init.localCheckpoint(true)
-    var converged = e.isEmpty
+    var eCnt = e.count()
+    var converged = eCnt == 0L
     var iter = 0
     while (!converged) {
       iter += 1
@@ -69,7 +70,11 @@ object GraphOps {
         .union(ssMin.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
         .localCheckpoint(true)
-      converged = ss.count() == e.count() && ss.except(e).isEmpty
+      // counts-first: the O(|E|)-shuffle except runs only on rounds whose
+      // edge count already matches (early rounds shrink the set every time)
+      val ssCnt = ss.count()
+      converged = ssCnt == eCnt && ss.except(e).isEmpty
+      eCnt = ssCnt
       e = ss
     }
     // fixpoint is a star forest (member → component-min root)

@@ -111,16 +111,13 @@ object VectorOps {
     * its 9 probe buckets, so at 10^9 vectors no full scan ever happens.
     */
   def q32AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val planes = (0 until 8).map { j =>
-      // dot(embedding, w_j) where w_j(i) = ((i*31 + j*17) % 7) - 3
-      val proj = aggregate(
-        zip_with(col("embedding"), sequence(lit(0), lit(63)),
-          (x, i) => x.cast("double") * (((i * 31 + lit(j * 17)) % 7) - 3).cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
+    // one 8-plane band of the quantized-integer signature family — the
+    // projections are exact integer sums, so the bucket is portable to the
+    // oracle regardless of summation order (the double-precision fold this
+    // replaced could flip a near-zero projection's sign between engines)
     val bucketed = emb(s, dir)
-      .withColumn("bucket", planes.reduce(_ + _))
+      .withColumn("bucket", element_at(
+        graft.functions.VecExprs.vec_lsh_bits(col("embedding"), 1, 8), 1))
     val q = broadcast(bucketed.filter(col("vec_id") === 0)
       .select(col("embedding").as("qe"), col("bucket").as("qbucket"))
       .withColumn("probe", explode(array(
@@ -356,7 +353,8 @@ object VectorOps {
            SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
            FROM embeddings, generate_series(1, 64) AS g(i)),
          proj AS (
-           SELECT vec_id, j, SUM(x * (((((i-1)*31 + j*17) % 7) - 3))) AS p
+           SELECT vec_id, j,
+             SUM(CAST(ROUND(x * 1048576) AS BIGINT) * (((((i-1)*31 + j*17) % 7) - 3))) AS p
            FROM ex CROSS JOIN generate_series(0, 7) AS jj(j) GROUP BY 1, 2),
          bucket AS (
            SELECT vec_id, CAST(SUM(CASE WHEN p >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
