@@ -150,7 +150,58 @@ object MultimodalOps {
       .orderBy(col("video_id"))
   }
 
+  /** REAL audio decode + feature extraction: synthesize a mono PCM16 WAV
+    * per document (RIFF layout with metadata chunks — [[graft.corpus.Audio]]),
+    * then chunk-walk parse it back and extract integer features (duration,
+    * peak, energy, zero crossings) in mapPartitions. Unlike q41-q43 this IS
+    * fully DuckDB-oracled: samples are a pure integer function of
+    * (doc_id, i), so the oracle regenerates the waveform arithmetically
+    * while Spark round-trips real WAV bytes — the hash check covers
+    * encode → RIFF parse → feature math end to end.
+    */
+  def q44AudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.corpus.Audio
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nChars) =>
+          // encode and parse INSIDE the task: bytes never cross a shuffle
+          val f = Audio.features(Audio.parseWav(Audio.encodeWav(id, nChars)))
+          (id, f.nSamples, f.sampleRate, f.durationMs, f.peak, f.sumSq, f.zeroCross)
+        }
+      }
+      .toDF("doc_id", "n_samples", "sample_rate", "duration_ms", "peak",
+        "sum_sq", "zero_cross")
+      .orderBy(col("doc_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q44_audio_features" ->
+      """WITH params AS (
+           SELECT doc_id,
+                  256 + (n_chars % 512) AS n,
+                  CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                       ELSE 44100 END AS rate
+           FROM documents
+         ), s AS (
+           SELECT p.doc_id, p.n, p.rate, g.i,
+                  ((p.doc_id*40503 + g.i*2654435761) % 65536) - 32768 AS v,
+                  CASE WHEN g.i > 0 THEN
+                    ((p.doc_id*40503 + (g.i-1)*2654435761) % 65536) - 32768
+                  END AS pv
+           FROM params p,
+                LATERAL (SELECT unnest(generate_series(0, CAST(p.n AS BIGINT) - 1)) AS i) g
+         )
+         SELECT doc_id,
+                CAST(max(n) AS BIGINT) AS n_samples,
+                CAST(max(rate) AS BIGINT) AS sample_rate,
+                CAST(max(n) * 1000 // max(rate) AS BIGINT) AS duration_ms,
+                CAST(max(abs(v)) AS BIGINT) AS peak,
+                CAST(sum(v*v) AS BIGINT) AS sum_sq,
+                CAST(sum(CASE WHEN pv IS NOT NULL AND pv*v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+         FROM s GROUP BY doc_id ORDER BY doc_id""",
     "q40_decode_stub" ->
       """SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -163,5 +214,6 @@ object MultimodalOps {
     "q40_decode_stub" -> q40DecodeStub _,
     "q41_image_decode" -> q41ImageDecode _,
     "q42_thumbnail" -> q42Thumbnail _,
-    "q43_frame_sample" -> q43FrameSample _)
+    "q43_frame_sample" -> q43FrameSample _,
+    "q44_audio_features" -> q44AudioFeatures _)
 }
