@@ -273,6 +273,45 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Repetition-based quality filter — the Gopher-style signals a training
+    * pipeline runs alongside [[q25Quality]]: per-document distinct-token
+    * ratio, most-frequent-bigram mass, and duplicate-bigram mass, plus the
+    * resulting `repetitive` flag. Everything is PER-DOCUMENT, so the whole
+    * op is one map pass (typed mapPartitions, local hash counting) — no
+    * shuffle, no explode: the bigram counts of one doc never need to meet
+    * another doc's. At 100 TB this is the ideal plan: embarrassingly
+    * parallel over input splits, output rows tiny. Integer x1000 fixed-point
+    * (floor division) keeps the DuckDB oracle exact.
+    */
+  def q45Repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val tk = text.split(' ').filter(_.nonEmpty)
+          val n = tk.length.toLong
+          val nDistinct = tk.toSet.size.toLong
+          val bgCounts = new scala.collection.mutable.HashMap[(String, String), Long]()
+          var i = 0
+          while (i < tk.length - 1) {
+            val k = (tk(i), tk(i + 1))
+            bgCounts.update(k, bgCounts.getOrElse(k, 0L) + 1L)
+            i += 1
+          }
+          val total = math.max(0L, n - 1)
+          val maxc = if (bgCounts.isEmpty) 0L else bgCounts.valuesIterator.max
+          val distinctRatio = 1000L * nDistinct / n
+          val topBigram = if (total > 0) 1000L * maxc / total else 0L
+          val dupBigram = if (total > 0) 1000L * (total - bgCounts.size) / total else 0L
+          val repetitive = if (topBigram >= 180 || distinctRatio <= 300) 1L else 0L
+          (id, n, distinctRatio, topBigram, dupBigram, repetitive)
+        }
+      }
+      .toDF("doc_id", "n_toks", "distinct_ratio_x1000", "top_bigram_x1000",
+        "dup_bigram_x1000", "repetitive")
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID by token-signature scoring — a deterministic, portable
     * n-gram-style heuristic (the synthetic corpus shares one vocabulary
     * across langs, so the gate checks engine agreement, not linguistics).
@@ -490,6 +529,28 @@ object TextOps {
                      > len(list_filter(string_split(text,' '), x -> x <> '')) THEN 'stopword_heavy'
                 ELSE 'ok' END AS bucket
          FROM documents ORDER BY doc_id""",
+    "q45_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, [t for t in string_split(text,' ') if t <> ''] AS tk FROM documents
+         ), base AS (
+           SELECT doc_id, len(tk) AS n_toks, len(list_distinct(tk)) AS n_distinct, tk FROM toks
+         ), bg AS (
+           SELECT doc_id, tk[i] || ' ' || tk[i+1] AS b
+           FROM base, LATERAL (SELECT unnest(generate_series(1, CAST(len(tk) AS BIGINT) - 1)) AS i) g
+           WHERE len(tk) >= 2
+         ), bgc AS (
+           SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
+         ), bga AS (
+           SELECT doc_id, max(c) AS maxc, sum(c) AS total, count(*) AS ndist FROM bgc GROUP BY doc_id
+         )
+         SELECT b.doc_id,
+           CAST(b.n_toks AS BIGINT) AS n_toks,
+           CAST(1000 * b.n_distinct // b.n_toks AS BIGINT) AS distinct_ratio_x1000,
+           CAST(coalesce(1000 * a.maxc // a.total, 0) AS BIGINT) AS top_bigram_x1000,
+           CAST(coalesce(1000 * (a.total - a.ndist) // a.total, 0) AS BIGINT) AS dup_bigram_x1000,
+           CAST(CASE WHEN coalesce(1000 * a.maxc // a.total, 0) >= 180
+                     OR 1000 * b.n_distinct // b.n_toks <= 300 THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+         FROM base b LEFT JOIN bga a USING (doc_id) ORDER BY b.doc_id""",
     "q26_token_stats" ->
       """SELECT doc_id,
            CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tokens,
@@ -509,5 +570,6 @@ object TextOps {
     "q24_lang_id" -> q24LangId _,
     "q25_quality" -> q25Quality _,
     "q26_token_stats" -> q26TokenStats _,
+    "q45_repetition" -> q45Repetition _,
     "q27_fingerprint" -> q27Fingerprint _)
 }
