@@ -467,8 +467,7 @@ final class CrawlEngine(
     * Callers must [[awaitCommit]] first (a commit appends a step dir).
     */
   private def readArchive(upToStep: Int): Option[DataFrame] = {
-    val d = new java.io.File(archiveDir)
-    if (!d.isDirectory || d.listFiles() == null || d.listFiles().isEmpty) None
+    if (graft.state.StateIO.listNames(archiveDir).isEmpty) None
     else Some(spark.read.schema(jobSchema.add("bucket", "int").add("step", "int"))
       .parquet(archiveDir).filter(col("step") <= upToStep))
   }
@@ -500,22 +499,19 @@ final class CrawlEngine(
 
   /** Highest compacted-base step (see [[compactItems]]); -1 = no base. */
   private def latestBaseStep: Int = {
-    val d = new java.io.File(itemsBaseDir)
-    val steps = Option(d.listFiles()).getOrElse(Array.empty)
-      .map(_.getName).collect { case n if n.startsWith("step=") => n.substring(5).toInt }
+    val steps = graft.state.StateIO.listNames(itemsBaseDir)
+      .collect { case n if n.startsWith("step=") => n.substring(5).toInt }
     if (steps.isEmpty) -1 else steps.max
   }
 
   private def readStepPartitioned(base: String, upToStep: Int): Option[DataFrame] = {
-    val d = new java.io.File(base)
-    if (!d.isDirectory || d.listFiles() == null || d.listFiles().isEmpty) None
+    if (graft.state.StateIO.listNames(base).isEmpty) None
     else Some(spark.read.parquet(base).filter(col("step") <= upToStep))
   }
 
   private def readStepPartitioned(base: String, upToStep: Int,
       dataSchema: org.apache.spark.sql.types.StructType): Option[DataFrame] = {
-    val d = new java.io.File(base)
-    if (!d.isDirectory || d.listFiles() == null || d.listFiles().isEmpty) None
+    if (graft.state.StateIO.listNames(base).isEmpty) None
     else Some(spark.read.schema(dataSchema.add("step", "int"))
       .parquet(base).filter(col("step") <= upToStep))
   }
@@ -587,17 +583,11 @@ final class CrawlEngine(
   /** Remove step partitions newer than the committed step (left by a killed
     * run between the raw-outcome/log writes and the snapshot commit).
     */
-  private def cleanStale(base: String, committed: Int): Unit = {
-    val d = new java.io.File(base)
-    if (d.isDirectory) Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
-      val n = f.getName
-      if (n.startsWith("step=") && n.substring(5).toInt > committed) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(f.toPath).iterator().asScala.toSeq
-          .reverse.foreach(java.nio.file.Files.delete)
-      }
+  private def cleanStale(base: String, committed: Int): Unit =
+    graft.state.StateIO.listNames(base).foreach { n =>
+      if (n.startsWith("step=") && n.substring(5).toInt > committed)
+        graft.state.StateIO.deleteRec(s"$base/$n")
     }
-  }
 
   def currentVersion: Option[Int] = { awaitCommit(); store.latestVersion }
 
@@ -927,7 +917,7 @@ final class CrawlEngine(
       case _ =>
         itemMetaLocal = None // stale vs the freshly-rebuilt cache
         awaitCommit()
-        if (new java.io.File(rawDir).isDirectory || latestBaseStep >= 0) {
+        if (graft.state.StateIO.isDir(rawDir) || latestBaseStep >= 0) {
           val df = readItemDeltas(committed, withBytes = false)
             .select(col("key"), col("phash"))
             .toDF().localCheckpoint(true)
@@ -1517,34 +1507,24 @@ final class CrawlEngine(
     itemMetaCache.foreach(_._2.unpersist())
     itemMetaCache = None
     itemMetaLocal = None
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    def deleteRec(p: java.nio.file.Path): Unit =
-      if (Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      }
+    import graft.state.StateIO
     for (v <- currentVersion) {
       val committed = stepOf(v)
       val prevBase = latestBaseStep
       if (committed >= 0 && prevBase < committed) {
-        val tmp = Paths.get(cfg.statePath, ".compact-items")
-        deleteRec(tmp)
-        Items.resolve(readItemDeltas(committed)).write.parquet(tmp.toString)
-        Files.createDirectories(Paths.get(itemsBaseDir))
-        val target = Paths.get(itemsBaseDir, s"step=$committed")
-        deleteRec(target)
-        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        val tmp = s"${cfg.statePath}/.compact-items"
+        StateIO.deleteRec(tmp)
+        Items.resolve(readItemDeltas(committed)).write.parquet(tmp)
+        StateIO.moveReplace(tmp, s"$itemsBaseDir/step=$committed")
         // absorbed inputs — readers already ignore them (max-base rule).
         // NOTE: dropping a raw step dir also drops that step's fetch
         // outcomes for item purposes only — the fetch LOG (the
         // observability record) lives in its own table and is untouched.
-        if (prevBase >= 0) deleteRec(Paths.get(itemsBaseDir, s"step=$prevBase"))
+        if (prevBase >= 0) StateIO.deleteRec(s"$itemsBaseDir/step=$prevBase")
         Seq(rawDir, suppressedDir).foreach { base =>
-          val d = new java.io.File(base)
-          Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
-            val n = f.getName
+          StateIO.listNames(base).foreach { n =>
             if (n.startsWith("step=") && n.substring(5).toInt <= committed)
-              deleteRec(f.toPath)
+              StateIO.deleteRec(s"$base/$n")
           }
         }
       }

@@ -1,8 +1,5 @@
 package graft.state
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
-
 /** Snapshot-versioned table store — the sandbox's Iceberg emulation.
   *
   * No Iceberg jars exist in this environment, so snapshot semantics are
@@ -18,21 +15,18 @@ import scala.jdk.CollectionConverters._
   * `.staging-N` → `v=N`, so a killed run leaves either vN or vN+1 — never a
   * torn state. Resume = read `latestVersion`. The `state/` module isolates
   * this so a real Iceberg catalog can replace it without touching the engine
-  * (same commit/latest/read contract).
+  * (same commit/latest/read contract). All IO goes through [[StateIO]]
+  * (Hadoop `FileSystem`), so `root` may be a local path in the sandbox or
+  * an `hdfs://` URI on a cluster — nothing here assumes a local disk.
   */
 final class SnapshotStore(val root: String) {
-
-  private def rootPath: Path = Paths.get(root)
 
   def versionDir(v: Int): String = s"$root/v=$v"
   def tablePath(v: Int, table: String): String = s"${versionDir(v)}/$table"
 
   def latestVersion: Option[Int] = {
-    if (!Files.isDirectory(rootPath)) return None
-    val vs = Files.list(rootPath).iterator().asScala
-      .map(_.getFileName.toString)
+    val vs = StateIO.listNames(root)
       .collect { case s if s.startsWith("v=") => s.substring(2).toInt }
-      .toSeq
     if (vs.isEmpty) None else Some(vs.max)
   }
 
@@ -40,34 +34,23 @@ final class SnapshotStore(val root: String) {
     * manifest is written and the directory is atomically renamed to `v=N`.
     */
   def commit(v: Int, manifestJson: String)(write: String => Unit): Unit = {
-    val staging = rootPath.resolve(s".staging-$v")
-    deleteRecursively(staging)
-    Files.createDirectories(staging)
-    write(staging.toString)
-    Files.writeString(staging.resolve("_snapshot.json"), manifestJson)
-    val target = rootPath.resolve(s"v=$v")
-    deleteRecursively(target)
-    Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+    val staging = s"$root/.staging-$v"
+    StateIO.deleteRec(staging)
+    StateIO.mkdirs(staging)
+    write(staging)
+    StateIO.writeString(s"$staging/_snapshot.json", manifestJson)
+    StateIO.moveReplace(staging, versionDir(v))
   }
 
   def manifest(v: Int): String =
-    Files.readString(Paths.get(versionDir(v), "_snapshot.json"))
+    StateIO.readString(s"${versionDir(v)}/_snapshot.json")
 
   /** Drop all versions below `keepFrom` (checkpoint retention). */
   def expire(keepFrom: Int): Unit =
-    latestVersion.foreach { _ =>
-      Files.list(rootPath).iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("v=") && n.substring(2).toInt < keepFrom
-        }
-        .toSeq
-        .foreach(deleteRecursively)
+    StateIO.listNames(root).foreach { n =>
+      if (n.startsWith("v=") && n.substring(2).toInt < keepFrom)
+        StateIO.deleteRec(s"$root/$n")
     }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
 }
 
 object SnapshotStore {
