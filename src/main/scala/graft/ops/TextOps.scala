@@ -312,6 +312,52 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** PII redaction patterns — email, NANP-style phone, IPv4. Both regex
+    * dialects in play (Java in Spark, RE2 in DuckDB) parse these
+    * identically: character classes, bounded repetition, `\b` ASCII word
+    * boundaries only.
+    */
+  private val PiiPatterns: Seq[(String, String)] = Seq(
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""" -> "<EMAIL>",
+    """\+1-[0-9]{3}-[0-9]{4}""" -> "<PHONE>",
+    """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b""" -> "<IP>")
+
+  /** Redact every PII pattern in a string column — the reusable scrubbing
+    * op a training pipeline runs before anything leaves the raw zone. Pure
+    * per-row map (codegen'd regexp_replace chain): no shuffle, so at 100 TB
+    * it rides the ingest scan for free.
+    */
+  def redactPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (p, tag)) => regexp_replace(acc, p, tag) }
+
+  /** q46: PII detection + redaction over `documents`. The synthetic corpus
+    * carries no natural PII, so the query first injects deterministic
+    * doc_id-derived emails/phones/IPs (the same expression in the oracle —
+    * an in-query test fixture, NOT part of the operator), then counts and
+    * redacts them with [[redactPii]]. Counts + the redacted text are exact
+    * string outputs — fully hash-comparable across engines.
+    */
+  def q46PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val t = concat(col("text"),
+      when(col("doc_id") % 3 =!= 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com"))).otherwise(""),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(""),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string"))).otherwise(""))
+    docs(s, dir)
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(PiiPatterns(0)._1)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(PiiPatterns(1)._1)).cast("long").as("n_phones"),
+        regexp_count(col("t"), lit(PiiPatterns(2)._1)).cast("long").as("n_ips"),
+        redactPii(col("t")).as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID by token-signature scoring — a deterministic, portable
     * n-gram-style heuristic (the synthetic corpus shares one vocabulary
     * across langs, so the gate checks engine agreement, not linguistics).
@@ -556,7 +602,26 @@ object TextOps {
            CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tokens,
            CAST(len(list_filter(regexp_split_to_array(text, '[aeiou ]+'), x -> x <> '')) AS BIGINT) AS n_subwords,
            CAST(length(text) AS BIGINT) AS len
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    "q46_pii_redact" ->
+      """WITH raw AS (
+           SELECT doc_id,
+             text || CASE WHEN doc_id % 3 <> 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+               THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+               THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+             AS t FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+         FROM raw ORDER BY doc_id""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact" -> q20DedupExact _,
@@ -571,5 +636,6 @@ object TextOps {
     "q25_quality" -> q25Quality _,
     "q26_token_stats" -> q26TokenStats _,
     "q45_repetition" -> q45Repetition _,
+    "q46_pii_redact" -> q46PiiRedact _,
     "q27_fingerprint" -> q27Fingerprint _)
 }

@@ -302,6 +302,34 @@ object VectorOps {
       .limit(10)
   }
 
+  /** q47: symmetric int8 quantization of the embedding column — the 4×
+    * storage compression a 100 TB embedding store runs before indexing
+    * (scale = max|x|/127 per vector, qᵢ = round(xᵢ/scale) ∈ [−127, 127]).
+    * Pure per-row map over the array (higher-order transform/aggregate —
+    * no shuffle, no explode: one output row per input row, so at 10⁹
+    * vectors this rides the scan). Portability: float→double is exact,
+    * max|x| is comparison-based (order-free), scale and xᵢ/scale are single
+    * IEEE divisions, and the published aggregates (Σq, Σq², min, max) are
+    * INTEGER sums — associative, so DuckDB's arbitrary-order aggregation
+    * matches Spark's sequential fold bit-for-bit.
+    */
+  def q47QuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val xd = transform(col("embedding"), x => x.cast("double"))
+    val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    emb(s, dir)
+      .withColumn("scale", maxabs / lit(127.0))
+      .withColumn("q", transform(xd, x =>
+        when(col("scale") === 0.0, lit(0L))
+          .otherwise(round(x / col("scale")).cast("long"))))
+      .select(col("vec_id"),
+        round(col("scale") * 1e9).cast("long").as("scale_x1e9"),
+        aggregate(col("q"), lit(0L), (a, v) => a + v).as("q_sum"),
+        aggregate(col("q"), lit(0L), (a, v) => a + v * v).as("q_sq_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-label centroid stats — the IVF coarse-quantizer building block:
     * one map-side-combinable aggregation producing k centroids. Output is
     * rounded centroid L2 norms (portable integers).
@@ -413,6 +441,23 @@ object VectorOps {
     "q35_cosine_lsh_verify" ->
       s"""WITH $lshVerifySqlCtes
          SELECT vec_a, vec_b, cos_x10000 FROM verified ORDER BY vec_a, vec_b""",
+    "q47_quantize_int8" ->
+      """WITH ex AS (
+           SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, generate_series(1, 64) AS g(i)),
+         m AS (SELECT vec_id, max(abs(x)) AS maxabs FROM ex GROUP BY 1),
+         q AS (
+           SELECT e.vec_id, m.maxabs,
+             CASE WHEN m.maxabs = 0 THEN 0
+                  ELSE CAST(round(e.x / (m.maxabs / 127.0)) AS BIGINT) END AS qi
+           FROM ex e JOIN m USING (vec_id))
+         SELECT vec_id,
+           CAST(round((max(maxabs) / 127.0) * 1e9) AS BIGINT) AS scale_x1e9,
+           CAST(SUM(qi) AS BIGINT) AS q_sum,
+           CAST(SUM(qi*qi) AS BIGINT) AS q_sq_sum,
+           CAST(MIN(qi) AS BIGINT) AS q_min,
+           CAST(MAX(qi) AS BIGINT) AS q_max
+         FROM q GROUP BY vec_id ORDER BY vec_id""",
     "q36_vector_clusters" ->
       s"""WITH RECURSIVE $lshVerifySqlCtes,
          edges AS (SELECT vec_a AS u, vec_b AS v FROM verified
@@ -471,5 +516,6 @@ object VectorOps {
     "q33_centroids" -> q33Centroids _,
     "q34_ivf_search" -> q34IvfSearch _,
     "q35_cosine_lsh_verify" -> q35CosineLshVerify _,
-    "q36_vector_clusters" -> q36VectorClusters _)
+    "q36_vector_clusters" -> q36VectorClusters _,
+    "q47_quantize_int8" -> q47QuantizeInt8 _)
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{TextOps, VectorOps}
+
+/** Invariant tests for the newest pipeline ops (q46 PII redaction, q47 int8
+  * quantization). Cross-engine value equality is the driver's DuckDB gate;
+  * these assert the operator-level contracts that gate can't see.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q46: redacted text carries no residual PII and counts match the injection rule") {
+    val rows = TextOps.q46PiiRedact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (nEmail, nPhone, nIp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val red = r.getString(4)
+      // counts follow the deterministic injection rule exactly
+      assert(nEmail === (if (id % 3 != 0) 1L else 0L))
+      assert(nPhone === (if (id % 2 == 0) 1L else 0L))
+      assert(nIp === (if (id % 5 == 0) 1L else 0L))
+      // nothing PII-shaped survives redaction
+      assert(!red.contains("@"), s"doc $id leaked an email: $red")
+      assert(!red.contains("+1-555"), s"doc $id leaked a phone: $red")
+      assert(!red.matches(""".*\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b.*"""),
+        s"doc $id leaked an IP: $red")
+      // each injected token became its tag
+      assert(red.sliding(7).count(_ == "<EMAIL>") === nEmail)
+      assert(red.sliding(7).count(_ == "<PHONE>") === nPhone)
+    }
+  }
+
+  test("redactPii is a no-op on clean text") {
+    import spark.implicits._
+    val out = Seq("no pii here at all", "just words and 42 numbers")
+      .toDF("t").select(TextOps.redactPii(col("t")).as("r"))
+      .as[String].collect()
+    assert(out === Seq("no pii here at all", "just words and 42 numbers"))
+  }
+
+  test("q47: quantized range is [-127,127] and every vector saturates at its max-abs element") {
+    val rows = VectorOps.q47QuantizeInt8(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qMin, qMax) = (r.getLong(4), r.getLong(5))
+      assert(qMin >= -127L && qMax <= 127L)
+      // the element realizing max|x| quantizes to exactly ±127
+      assert(qMax === 127L || qMin === -127L,
+        s"vec ${r.getLong(0)} has no saturated element ($qMin,$qMax)")
+      assert(r.getLong(1) > 0L) // scale_x1e9
+    }
+  }
+
+  test("q47: reconstruction x_i ~= q_i * scale within scale/2 per element") {
+    import spark.implicits._
+    // re-derive q per element and check the quantizer's defining bound
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect()
+    e.take(50).foreach { case (_, v) =>
+      val maxabs = v.map(x => math.abs(x.toDouble)).max
+      if (maxabs > 0) {
+        val scale = maxabs / 127.0
+        v.foreach { x =>
+          val q = math.round(x.toDouble / scale)
+          assert(math.abs(x.toDouble - q * scale) <= scale / 2 + 1e-12)
+        }
+      }
+    }
+  }
+
+  test("q47 handles the zero vector (scale 0, all q = 0)") {
+    import spark.implicits._
+    val tmp = tmpDir("q47zero")
+    Seq((0L, Array.fill(64)(0.0f), 0), (1L, Array.fill(64)(0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = VectorOps.q47QuantizeInt8(spark, tmp).collect()
+    val zero = out.find(_.getLong(0) == 0L).get
+    assert(zero.getLong(1) === 0L && zero.getLong(2) === 0L &&
+      zero.getLong(3) === 0L && zero.getLong(4) === 0L && zero.getLong(5) === 0L)
+    val const = out.find(_.getLong(0) == 1L).get
+    assert(const.getLong(4) === 127L && const.getLong(5) === 127L)
+  }
+}
