@@ -312,6 +312,73 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-language sampling rates (percent) for [[q48StratifiedSample]] —
+    * the "data mixing" weights a pretraining pipeline applies per source
+    * stratum (upsample high-value languages, downsample the crawl-heavy
+    * ones). Shared with the oracle SQL so the two can't drift.
+    */
+  private[graft] val MixRates: Seq[(String, Int)] =
+    Seq("en" -> 60, "de" -> 80, "es" -> 40, "fr" -> 100, "zh" -> 50)
+  private[graft] val MixDefaultRate = 30
+
+  /** q48: deterministic stratified sampling — keep a doc iff its portable
+    * hash bucket falls under its stratum's rate. Pure map (hash + compare,
+    * no shuffle, no RNG): the sample is REPRODUCIBLE across engines, reruns
+    * and cluster sizes — the property `df.sample()` (partition-RNG-seeded)
+    * cannot give a 100 TB pipeline that must re-derive the same corpus on
+    * retry. Salt 7 decorrelates from q38's split buckets (salt 0), so
+    * sampling composes with the train/val/test split instead of biasing it.
+    */
+  def q48StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val rate = MixRates.foldLeft(lit(MixDefaultRate)) { case (acc, (l, r)) =>
+      when(col("lang") === l, r).otherwise(acc)
+    }.cast("long")
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), rate.as("rate"),
+        (PH.mix(col("doc_id"), 7) % 100).as("bucket"))
+      .filter(col("bucket") < col("rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Coarse-group width for [[q49SequencePack]]'s two-level prefix scan. */
+  private val PackGroup = 64
+
+  /** q49: sequence packing — concat-and-chop, the layout step that turns a
+    * document corpus into fixed-budget training sequences (B = 256 tokens
+    * here; 2k–8k in production). Each doc's global token offset is a PREFIX
+    * SUM in doc_id order; `seq_id = start/B`, `offset = start%B`, `end_seq`
+    * marks boundary-crossing docs. A single global window would serialize
+    * the scan through one task, so the prefix is computed the way
+    * distributed scans are: a running sum WITHIN coarse groups
+    * (`doc_id / 64`, parallel over groups) plus per-group totals prefixed
+    * in a second, groups-only window — that window handles n/64 rows
+    * (tune the divisor so it fits one task at 10^10 docs, or nest a third
+    * level; the data volume through it is 16 bytes/group either way).
+    */
+  def q49SequencePack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 256L
+    val nToks = size(filter(toks, t => t =!= "")).cast("long")
+    val d = docs(s, dir)
+      .select(col("doc_id"), nToks.as("n_tokens"),
+        (col("doc_id") / PackGroup).cast("long").as("g"))
+    val withinW = Window.partitionBy(col("g")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = d.withColumn("wc", sum(col("n_tokens")).over(withinW))
+    val prefixW = Window.orderBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefixes = d.groupBy(col("g")).agg(sum(col("n_tokens")).as("gt"))
+      .withColumn("gprefix", sum(col("gt")).over(prefixW) - col("gt"))
+      .select(col("g"), col("gprefix"))
+    within.join(broadcast(prefixes), Seq("g"))
+      .withColumn("c", col("wc") + col("gprefix"))
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("c") - col("n_tokens")) / B).cast("long").as("seq_id"),
+        ((col("c") - col("n_tokens")) % B).as("offset"),
+        ((col("c") - 1) / B).cast("long").as("end_seq"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII redaction patterns — email, NANP-style phone, IPv4. Both regex
     * dialects in play (Java in Spark, RE2 in DuckDB) parse these
     * identically: character classes, bounded repetition, `\b` ASCII word
@@ -512,6 +579,28 @@ object TextOps {
                 WHEN ${graft.functions.PortableHash.mixSql("doc_id", "0")} % 100 < 95 THEN 'val'
                 ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
+    "q48_stratified_sample" ->
+      s"""WITH rated AS (
+           SELECT doc_id, lang,
+             CASE lang ${MixRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")}
+                  ELSE $MixDefaultRate END AS rate,
+             ${graft.functions.PortableHash.mixSql("doc_id", "7")} % 100 AS bucket
+           FROM documents)
+         SELECT doc_id, lang, CAST(rate AS BIGINT) AS rate, CAST(bucket AS BIGINT) AS bucket
+         FROM rated WHERE bucket < rate ORDER BY doc_id""",
+    "q49_sequence_pack" ->
+      """WITH toks AS (
+           SELECT doc_id, CAST(len(list_filter(string_split(text,' '), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         cum AS (
+           SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
+           FROM toks)
+         SELECT doc_id, n_tokens,
+           CAST((c - n_tokens) // 256 AS BIGINT) AS seq_id,
+           CAST((c - n_tokens) % 256 AS BIGINT) AS offset,
+           CAST((c - 1) // 256 AS BIGINT) AS end_seq
+         FROM cum ORDER BY doc_id""",
     "q29_dedup_clusters" ->
       s"""WITH RECURSIVE $minhashVerifySqlCtes,
          edges AS (SELECT doc_a AS u, doc_b AS v FROM verified
@@ -637,5 +726,7 @@ object TextOps {
     "q26_token_stats" -> q26TokenStats _,
     "q45_repetition" -> q45Repetition _,
     "q46_pii_redact" -> q46PiiRedact _,
+    "q48_stratified_sample" -> q48StratifiedSample _,
+    "q49_sequence_pack" -> q49SequencePack _,
     "q27_fingerprint" -> q27Fingerprint _)
 }

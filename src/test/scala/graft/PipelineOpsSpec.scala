@@ -72,6 +72,41 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q48: sample is deterministic across runs and respects per-stratum rates") {
+    val a = TextOps.q48StratifiedSample(spark, sf).collect()
+    val b = TextOps.q48StratifiedSample(spark, sf).collect()
+    assert(a.map(_.getLong(0)).toSeq === b.map(_.getLong(0)).toSeq) // reproducible
+    assert(a.nonEmpty)
+    a.foreach(r => assert(r.getLong(3) < r.getLong(2))) // bucket < rate by construction
+    // empirical keep-rate per stratum within a loose tolerance of the target
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    docs.foreach { case (lang, total) =>
+      if (total >= 20) {
+        val rate = TextOps.MixRates.toMap.getOrElse(lang, 30) / 100.0
+        val got = kept.getOrElse(lang, 0L).toDouble / total
+        assert(math.abs(got - rate) < 0.25, s"$lang: got $got want ~$rate")
+      }
+    }
+  }
+
+  test("q49: packing is a gapless chop — offsets advance by n_tokens mod budget") {
+    val rows = TextOps.q49SequencePack(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val B = 256L
+    var cum = 0L
+    rows.foreach { r =>
+      val (n, seq, off, endSeq) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(seq === cum / B)
+      assert(off === cum % B)
+      cum += n
+      assert(endSeq === (cum - 1) / B)
+    }
+  }
+
   test("q47 handles the zero vector (scale 0, all q = 0)") {
     import spark.implicits._
     val tmp = tmpDir("q47zero")
