@@ -70,22 +70,23 @@ object TextOps {
   import graft.functions.PortableHash.{M => HM}
   import graft.functions.{PortableHash => PH}
 
-  /** Distinct 31-bit shingle hashes per doc: tokens are char-hashed ONCE,
-    * each word-3-gram is then 4 integer ops ([[PH.shingle3]]) — no shingle
-    * strings are ever materialized or shuffled (8-byte keys downstream).
+  /** Per-doc distinct shingle-hash ARRAYS — one native codegen'd pass per
+    * document ([[graft.functions.TextHash.shingles]]): tokenize, char-hash
+    * each token once, roll 3-gram hashes ([[PH.shingle3]] semantics), dedup
+    * locally. No shingle strings are ever materialized, and — unlike the
+    * old explode + global `.distinct()` — NO shuffle: the sketch rides the
+    * ingest scan.
+    */
+  private def shingleArr(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        graft.functions.TextHashExprs.text_shingles(col("text")).as("sharr"))
+      .filter(size(col("sharr")) > 0)
+
+  /** Distinct 31-bit shingle hashes per doc as (doc_id, shh) rows — the
+    * exploded view of [[shingleArr]] for the set-intersection joins.
     */
   private def shingleHashes(d: DataFrame): DataFrame =
-    d.select(col("doc_id"),
-        transform(filter(split(col("text"), " "), t => t =!= ""),
-          t => PH.poly(t)).as("th"))
-      .filter(size(col("th")) >= 3)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(col("th")) - 3),
-        i => PH.shingle3(
-          element_at(col("th"), i + 1),
-          element_at(col("th"), i + 2),
-          element_at(col("th"), i + 3)))).as("shh"))
-      .distinct()
+    shingleArr(d).select(col("doc_id"), explode(col("sharr")).as("shh"))
 
   /** DuckDB twin of [[shingleHashes]] as a CTE body (named `shh`). */
   private def shingleHashesSql: String =
@@ -112,16 +113,23 @@ object TextOps {
     * count. Fully DuckDB-oracled (round 1 was rows-only via xxhash64).
     */
   def q22MinhashLsh(s: SparkSession, dir: String): DataFrame =
-    minhashCandidates(shingleHashes(docs(s, dir)))
+    minhashCandidates(shingleArr(docs(s, dir)))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** LSH candidate pairs (≥1 colliding band) over a (doc_id, shh) frame. */
-  private def minhashCandidates(shh: DataFrame): DataFrame = {
-    val perms = (0 until MinhashPerms).map(i => min(PH.mix(col("shh"), i)).as(s"mh$i"))
-    val sigs = shh.groupBy(col("doc_id")).agg(perms.head, perms.tail: _*)
+  /** LSH candidate pairs (≥1 colliding band) over a (doc_id, sharr) frame.
+    * The 128-min signature is ONE native pass per doc
+    * ([[graft.functions.TextHash.minhash]]) — the old plan exploded every
+    * (doc, shingle) row and shuffled them through a 128-aggregate-column
+    * groupBy just to fold per-doc mins; now only the 128-long sketch per
+    * doc reaches the banding join (the single remaining shuffle).
+    */
+  private def minhashCandidates(sharr: DataFrame): DataFrame = {
+    val sigs = sharr.select(col("doc_id"),
+      graft.functions.TextHashExprs.minhash_sigs(col("sharr"), MinhashPerms).as("mh"))
     val bands = sigs.select(col("doc_id"), posexplode(array(
       (0 until MinhashBands).map(b => concat_ws(":",
-        (0 until MinhashRowsPerBand).map(r => col(s"mh${MinhashRowsPerBand * b + r}")): _*)): _*))
+        (0 until MinhashRowsPerBand).map(r =>
+          element_at(col("mh"), MinhashRowsPerBand * b + r + 1)): _*)): _*))
       .as(Seq("band", "sig")))
     bands.as("a").join(bands.as("b"),
         col("a.sig") === col("b.sig") && col("a.band") === col("b.band") &&
@@ -146,9 +154,12 @@ object TextOps {
     * assignment [[q29DedupClusters]].
     */
   private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val sets = shingleHashes(docs(s, dir)).cache()
-    val cand = minhashCandidates(sets).select(col("doc_a"), col("doc_b"))
-    val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val arr = shingleArr(docs(s, dir)).cache()
+    val sets = arr.select(col("doc_id"), explode(col("sharr")).as("shh"))
+    val cand = minhashCandidates(arr).select(col("doc_a"), col("doc_b"))
+    // set size = array length: a per-row map over the cached arrays, not a
+    // groupBy-count shuffle over exploded shingle rows
+    val sizes = arr.select(col("doc_id"), size(col("sharr")).cast("long").as("sz"))
     val common = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shh")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("shh")), Seq("doc_b", "shh"))
@@ -243,23 +254,16 @@ object TextOps {
     * bits from one char-level pass, DuckDB-oracled (round 1: rows-only).
     */
   def q23Simhash(s: SparkSession, dir: String): DataFrame = {
-    val tokenHash = docs(s, dir)
-      .select(col("doc_id"), explode(toks).as("tok"))
-      .filter(col("tok") =!= "")
-      .withColumn("h", PH.poly(col("tok")))
-    // per-bit votes (+1 set / -1 clear per token occurrence) as 64 aggregate
-    // columns in ONE map-side-combinable groupBy — no 64× row explosion, no
-    // second shuffle (was: posexplode to (doc, bit, vote) rows + two aggs)
-    val voteCols = (0 until 64).map(b =>
-      sum(when(shiftright(PH.mix(col("h"), b), 15).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"v$b"))
-    val votes = tokenHash.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-    // bitwiseOR, not sum: the bit-63 term is Long.MinValue, which a sum-based
-    // fold would have to overflow into (DuckDB raises on BIGINT overflow)
-    val sig = votes.select(col("doc_id"),
-      (0 until 64).map(b =>
-        when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ bitwiseOR _)
-        .as("simhash"))
+    // the whole signature is ONE native pass per doc (token poly-hashes →
+    // 64 mix-bit votes → sign bits, graft.functions.TextHash.simhash) —
+    // the old plan exploded every token occurrence and shuffled them
+    // through a 64-aggregate-column groupBy; now the sketch is a pure map
+    // and the band join is the only shuffle. Null = token-less doc (those
+    // never appeared in the exploded plan either).
+    val sig = docs(s, dir)
+      .select(col("doc_id"),
+        graft.functions.TextHashExprs.simhash64(col("text")).as("simhash"))
+      .filter(col("simhash").isNotNull)
     val banded = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 8).map(b =>
         shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)).as(Seq("band", "bv")))
@@ -475,16 +479,15 @@ object TextOps {
       .orderBy(col("doc_id"))
 
   /** Document fingerprint: bottom-4 sketch of (mixed) shingle hashes
-    * (winnowing-style content signature). The collect_list group is bounded
-    * by shingles-per-doc (≈ doc length), not corpus size, so no unbounded
-    * state. DuckDB-oracled (round 1: rows-only).
+    * (winnowing-style content signature). Pure per-doc array math over
+    * [[shingleArr]] — the old plan shuffled exploded shingle rows through a
+    * collect_list groupBy to fold values that never leave their doc.
     */
   def q27Fingerprint(s: SparkSession, dir: String): DataFrame =
-    shingleHashes(docs(s, dir))
-      .withColumn("h", PH.mix(col("shh"), 7))
-      .groupBy(col("doc_id"))
-      .agg(slice(sort_array(collect_list(col("h"))), 1, 4).as("bottom4"))
-      .select(col("doc_id"), concat_ws(",", col("bottom4").cast("array<string>")).as("fp"))
+    shingleArr(docs(s, dir))
+      .select(col("doc_id"), concat_ws(",",
+        slice(array_sort(transform(col("sharr"), h => PH.mix(h, 7))), 1, 4)
+          .cast("array<string>")).as("fp"))
       .orderBy(col("doc_id"))
 
   /** Shared CTE chain of the sketch-then-verify pipeline, ending in CTE

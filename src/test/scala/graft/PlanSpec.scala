@@ -113,6 +113,26 @@ class PlanSpec extends SparkSpec {
       .collect().sorted.sameElements(probeKeys))
   }
 
+  test("text sketches (shingles, minhash sig, simhash) are shuffle-free maps") {
+    // The per-doc sketch work must ride the ingest scan: at 100 TB an
+    // explode + groupBy(doc_id) here shuffles every (doc, token/shingle)
+    // row of the corpus just to fold values that never leave their doc.
+    // The native TextHash expressions make the whole sketch stage a single
+    // codegen'd projection — zero exchanges until the banding join.
+    import graft.functions.TextHashExprs._
+    val sketch = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), text_shingles(col("text")).as("sharr"),
+        simhash64(col("text")).as("sim"))
+      .filter(size(col("sharr")) > 0)
+      .select(col("doc_id"), minhash_sigs(col("sharr"), 128).as("mh"), col("sim"))
+    val p = planOf(sketch)
+    assert(!p.contains("Exchange"), s"sketch stage grew a shuffle:\n${p.take(1200)}")
+    assert(p.contains("WholeStageCodegen") || "\\*\\(\\d+\\) ".r.findFirstIn(p).isDefined,
+      p.take(1200))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("text") && !readSchema.contains("source"), readSchema)
+  }
+
   test("item-meta scans of the raw outcome table never read the payload column") {
     // The engine's planning passes over the landed raw outcomes must stay
     // byte-free: StepOutcome splits payloads into the top-level `itemBytes`
