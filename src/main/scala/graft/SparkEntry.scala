@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions.col
 import graft.corpus.{CorpusSpec, SiteRoutes, SyntheticCorpus}
 import graft.engine.{CrawlEngine, EngineConfig}
 import graft.fetch.CorpusFetcher
-import graft.ops.{MultimodalOps, RelationalQueries, StreamingOps, TextOps, VectorOps}
+import graft.ops.{GraphOps, MultimodalOps, RelationalQueries, StreamingOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -36,7 +36,7 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextOps.queries ++ VectorOps.queries ++
-      MultimodalOps.queries ++ StreamingOps.queries ++ Map(
+      MultimodalOps.queries ++ StreamingOps.queries ++ GraphOps.queries ++ Map(
         "q50_crawl_e2e" -> ((s: SparkSession, _: String) =>
           crawl(s, CorpusSpec(hosts = 2, listPages = 2, detailsPerList = 6), budget = 8)))
 
@@ -46,5 +46,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextOps.oracle ++ VectorOps.oracle ++
-      MultimodalOps.oracle ++ StreamingOps.oracle
+      MultimodalOps.oracle ++ StreamingOps.oracle ++ GraphOps.oracle
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph primitives for the dedup pipeline.
@@ -82,4 +82,116 @@ object GraphOps {
       .union(e.select(col("v"), col("v")).distinct()
         .toDF("node", "cluster"))
   }
+
+  /** Fixed-point iterations for [[pageRank]]/q51 (plan constant, shared with
+    * the oracle SQL generator so the two can't drift).
+    */
+  private[ops] val PageRankIters = 10
+
+  /** Link-authority scoring by PageRank — the signal production crawls feed
+    * back into frontier prioritization (the reference exposes per-job
+    * `priority` for exactly this: /root/reference/src/job.js and the
+    * priority dequeue surveyed as O2; web-scale curation pipelines rank
+    * hosts/pages the same way, cf. Common Crawl's harmonic-centrality
+    * rankings). Input: a `node` table and directed edges `(src, dst)`;
+    * dangling nodes (no out-edges) simply contribute nothing.
+    *
+    * ENGINE-PORTABLE INTEGER FIXED-POINT: ranks are x1e6 longs; one
+    * iteration is `r'(v) = 150000 + (85 · Σ_{u→v} (r(u) div deg(u))) div 100`
+    * — i.e. damping 0.85 with every division an integer floor. Summation of
+    * longs is order-independent, so after the fixed [[PageRankIters]]
+    * rounds BOTH engines hold bit-identical ranks (a float PageRank would
+    * diverge across engines by summation order). Dangling mass: nodes whose
+    * every candidate link is a self-loop contribute nothing (the standard
+    * leaked-mass simplification, identical in the oracle).
+    *
+    * Scale shape: per iteration, ONE equi-join of ranks against the
+    * (src-partitioned) edge list + one map-side-combinable sum by dst —
+    * high-indegree pages aggregate partially before the shuffle, so a hub
+    * with 10^8 in-links costs its partitions, not a hot reducer. Ranks are
+    * `localCheckpoint`ed each round to truncate the iterative lineage
+    * (`checkpoint()` on a real cluster); the edge+degree relation is
+    * materialized ONCE and reused by all rounds.
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = PageRankIters): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edeg = edges.join(deg, "src").localCheckpoint(true)
+    var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
+    (1 to iters).foreach { _ =>
+      val contribs = edeg.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      ranks = nodes
+        .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("coalesce(sc, 0L) * 85 div 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** The deterministic pseudo-link rules for q51's graph over `documents`:
+    * doc d links to `(d·a + b) mod N` for each (a, b) here (distinct targets,
+    * self-loops dropped) — a fixed affine web both engines derive
+    * identically from the node table, since the driver testdata carries no
+    * natural link column.
+    */
+  private val LinkRules: Seq[(Long, Long)] = Seq((31L, 7L), (131L, 13L), (17L, 1L))
+
+  /** q51: PageRank over the synthesized document link graph — the iterative
+    * fixed-point operator class (everything else in the pack is single-pass
+    * or log-round). Emits every doc's x1e6 integer rank after
+    * [[PageRankIters]] rounds.
+    */
+  def q51PageRank(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+    // N is one scalar of metadata (the modulus of the link rules), not data
+    val n = d.count()
+    val edges = d.select(col("doc_id").as("src"),
+        array_distinct(array(LinkRules.map { case (a, b) =>
+          (col("doc_id") * a + b) % n }: _*)).as("ts"))
+      .select(col("src"), explode(col("ts")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    pageRank(d.select(col("doc_id").as("node")), edges)
+      .select(col("node").as("doc_id"), col("r").as("rank_x1e6"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[q51PageRank]]: the fixed iteration count is unrolled
+    * as a CTE chain pr0..pr{iters} (no GROUP BY inside a recursive CTE to
+    * worry about), every arithmetic step the same integer op as Spark's.
+    */
+  private def pageRankSql(iters: Int): String = {
+    val prs = (1 to iters).map { i =>
+      s"""pr$i AS (
+           SELECT nd.doc_id AS node,
+                  150000 + (COALESCE(c.sc, 0) * 85) // 100 AS r
+           FROM nodes nd LEFT JOIN (
+             SELECT e.dst, SUM(p.r // dg.deg) AS sc
+             FROM edges e JOIN deg dg ON dg.src = e.src
+                          JOIN pr${i - 1} p ON p.node = e.src
+             GROUP BY e.dst) c ON c.dst = nd.doc_id)"""
+    }.mkString(",\n         ")
+    val linkList = LinkRules.map { case (a, b) =>
+      s"(doc_id*$a + $b) % (SELECT COUNT(*) FROM documents)" }.mkString(", ")
+    // MATERIALIZED: DuckDB 1.0's binder hits an internal error when the
+    // unnest CTE is re-inlined at each of the 10 pr_i references
+    s"""WITH nodes AS (SELECT doc_id FROM documents),
+         edges AS MATERIALIZED (
+           SELECT src, dst FROM (
+             SELECT doc_id AS src, unnest(list_distinct([$linkList])) AS dst
+             FROM nodes)
+           WHERE src <> dst),
+         deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+         pr0 AS (SELECT doc_id AS node, 1000000::BIGINT AS r FROM nodes),
+         $prs
+       SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_x1e6
+       FROM pr$iters ORDER BY doc_id"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_pagerank" -> q51PageRank _)
+
+  val oracle: Map[String, String] = Map(
+    "q51_pagerank" -> pageRankSql(PageRankIters))
 }

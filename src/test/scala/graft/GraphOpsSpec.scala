@@ -77,4 +77,46 @@ class GraphOpsSpec extends SparkSpec {
     assert(perCluster.forall(_.getLong(1) == 1L))
     assert(cc.filter(col("cluster") === 5L).count() === 3L)
   }
+
+  test("pageRank: symmetric 2-cycle is an exact integer fixpoint at 1e6") {
+    import spark.implicits._
+    // 1 <-> 2: r' = 150000 + (85·1000000) div 100 = 1000000 — the start IS
+    // the fixpoint, bit-exact under the integer recurrence
+    val nodes = Seq(1L, 2L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = GraphOps.pageRank(nodes, edges, iters = 30)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) === r(2L))
+    assert(r(1L) === 1000000L)
+  }
+
+  test("pageRank: acyclic star + chain reaches its exact integer fixpoint") {
+    import spark.implicits._
+    val n = 20L
+    val nodes = (1L to n).toDF("node")
+    // spokes 3..20 point at hub 1; hub points at 2; 2 dangles (leaks mass).
+    // Acyclic, so ranks hit the exact fixpoint well inside 10 rounds:
+    // spokes = 150000; r(1) = 150000 + (18·150000·85) div 100 = 2445000;
+    // r(2) = 150000 + (2445000·85) div 100 = 2228250.
+    val edges = ((3L to n).map(i => (i, 1L)) :+ (1L, 2L)).toDF("src", "dst")
+    val r = GraphOps.pageRank(nodes, edges)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) === 2445000L)
+    assert(r(2L) === 2228250L)
+    assert((3L to n).forall(i => r(i) === 150000L)) // no in-links: damping floor
+  }
+
+  test("pageRank is deterministic across partitionings (integer fixed-point)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val nodes = (0L until 60L).toDF("node")
+    val edgeSeq = Seq.fill(200)((rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val r1 = GraphOps.pageRank(nodes, edgeSeq.toDF("src", "dst"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val r8 = GraphOps.pageRank(nodes.repartition(8),
+        edgeSeq.toDF("src", "dst").repartition(7))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(r1 === r8)
+  }
 }
