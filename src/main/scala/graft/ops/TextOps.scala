@@ -490,6 +490,48 @@ object TextOps {
           .cast("array<string>")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** q52: vocabulary head — the word-count stage every tokenizer build
+    * (BPE/WordPiece) starts from: global token frequencies, top 100 by
+    * count (ties broken by token asc so the cut is deterministic). Shape at
+    * scale: explode is a map; the count groupBy is ONE shuffle with
+    * map-side combine (hot tokens pre-aggregate per partition — "the"
+    * arrives as ~#partitions partial counts, not 10^11 rows); the top-k is
+    * Spark's TakeOrderedAndProject — per-partition heads, never a full
+    * sort.
+    */
+  def q52Vocab(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(filter(toks, t => t =!= "")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(100)
+
+  /** q53: exact per-source length quantiles (p50/p90/p99 of n_chars) — the
+    * corpus-stats report run after every ingest. EXACT order statistics at
+    * scale without sorting rows: build the per-source VALUE HISTOGRAM first
+    * (one map-side-combinable groupBy), then window over distinct values
+    * only — the cumulative scan handles |value domain| rows per source, not
+    * |docs|. k-th = smallest value with cumulative count ≥ ceil(q·n), all
+    * in integer arithmetic (percentile_disc semantics, engine-portable —
+    * no interpolated doubles).
+    */
+  def q53LengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs(s, dir).groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+    val totals = hist.groupBy(col("source")).agg(sum(col("c")).as("n_docs"))
+    def kth(q: Int) =
+      min(when(col("cum") >= expr(s"(n_docs * $q + 99) div 100"), col("n_chars")))
+        .as(s"p$q")
+    cum.join(totals, "source")
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"), kth(50), kth(90), kth(99))
+      .orderBy(col("source"))
+  }
+
   /** Shared CTE chain of the sketch-then-verify pipeline, ending in CTE
     * `verified(doc_a, doc_b, jac_x1000)` — the oracle twin of
     * [[minhashVerifiedPairs]], used by both q28 and q29.
@@ -582,6 +624,27 @@ object TextOps {
                 WHEN ${graft.functions.PortableHash.mixSql("doc_id", "0")} % 100 < 95 THEN 'val'
                 ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
+    "q52_vocab" ->
+      """SELECT token, COUNT(*) AS cnt
+         FROM (SELECT unnest([t for t in string_split(text, ' ') if t <> '']) AS token
+               FROM documents)
+         GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100""",
+    "q53_length_quantiles" ->
+      """WITH hist AS (
+           SELECT source, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+         cum AS (
+           SELECT source, n_chars, c,
+             SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+                          ROWS UNBOUNDED PRECEDING) AS cum
+           FROM hist),
+         totals AS (SELECT source, SUM(c) AS n_docs FROM hist GROUP BY 1)
+         SELECT cum.source,
+           CAST(MAX(t.n_docs) AS BIGINT) AS n_docs,
+           MIN(CASE WHEN cum >= (t.n_docs * 50 + 99) // 100 THEN n_chars END) AS p50,
+           MIN(CASE WHEN cum >= (t.n_docs * 90 + 99) // 100 THEN n_chars END) AS p90,
+           MIN(CASE WHEN cum >= (t.n_docs * 99 + 99) // 100 THEN n_chars END) AS p99
+         FROM cum JOIN totals t USING (source)
+         GROUP BY cum.source ORDER BY cum.source""",
     "q48_stratified_sample" ->
       s"""WITH rated AS (
            SELECT doc_id, lang,
@@ -731,5 +794,7 @@ object TextOps {
     "q46_pii_redact" -> q46PiiRedact _,
     "q48_stratified_sample" -> q48StratifiedSample _,
     "q49_sequence_pack" -> q49SequencePack _,
+    "q52_vocab" -> q52Vocab _,
+    "q53_length_quantiles" -> q53LengthQuantiles _,
     "q27_fingerprint" -> q27Fingerprint _)
 }

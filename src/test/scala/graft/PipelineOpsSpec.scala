@@ -120,4 +120,35 @@ class PipelineOpsSpec extends SparkSpec {
     val const = out.find(_.getLong(0) == 1L).get
     assert(const.getLong(4) === 127L && const.getLong(5) === 127L)
   }
+
+  test("q52: vocab head is count-desc, token-asc deterministic and capped") {
+    val v = TextOps.q52Vocab(spark, "/root/testdata/sf0.001").collect()
+    assert(v.length <= 100)
+    val pairs = v.map(r => (r.getLong(1), r.getString(0)))
+    // ordering invariant: count desc, then token asc
+    pairs.sliding(2).foreach { case Array((c1, t1), (c2, t2)) =>
+      assert(c1 > c2 || (c1 == c2 && t1 < t2), s"ordering broke at ($c1,$t1) ($c2,$t2)")
+    case _ => }
+    // spot-check one count against a direct computation
+    val (cnt, tok) = pairs.head
+    val direct = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") === tok).count()
+    assert(cnt === direct)
+  }
+
+  test("q53: exact per-source order statistics match a driver-side sort") {
+    val got = TextOps.q53LengthQuantiles(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val sorted = g.map(_._2).sorted
+      val n = sorted.length
+      def kth(q: Int) = sorted(((n.toLong * q + 99) / 100).toInt - 1)
+      assert(got(src) === ((n.toLong, kth(50), kth(90), kth(99))), s"source $src")
+    }
+  }
 }
