@@ -563,7 +563,46 @@ object TextOps {
                          JOIN sizes sb ON sb.doc_id = c.doc_b
            WHERE CAST(ROUND(1000.0 * common / (sa.sz + sb.sz - common)) AS BIGINT) >= 400)"""
 
+  /** Per-source inter-document n-gram duplication report — the corpus-level
+    * duplication metric (what fraction of a source's distinct-per-doc
+    * 3-gram occurrences also appear in ANOTHER doc of the same source)
+    * computed before deciding how aggressively to dedup each source.
+    * Complements q45 (intra-document repetition): this one measures
+    * cross-document redundancy.
+    *
+    * Shape: the codegen'd per-doc shingle set ([[shingleHashes]], 8-byte
+    * hashes — no strings shuffled) → ONE map-side-combinable count shuffle
+    * on (source, shingle) → ONE k-row rollup per source. Both aggregations
+    * partial-combine, so at 100 TB the full pass is two shuffles of
+    * shrinking size and the output is |sources| rows.
+    */
+  def q55DupNgrams(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    shingleHashes(d)
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"), col("shh"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_occ"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup_occ"))
+      .select(col("source"), col("n_occ"), col("n_distinct"),
+        round(lit(1000.0) * col("dup_occ") / col("n_occ"))
+          .cast("long").as("dup_rate_x1000"))
+      .orderBy(col("source"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q55_dup_ngrams" ->
+      s"""WITH $shingleHashesSql,
+         ss AS (SELECT d.source, s.shh
+                FROM shh s JOIN documents d USING (doc_id)),
+         cs AS (SELECT source, shh, COUNT(*) AS cnt FROM ss GROUP BY 1, 2)
+         SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_occ,
+           COUNT(*) AS n_distinct,
+           CAST(ROUND(1000.0 * SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+                      / SUM(cnt)) AS BIGINT) AS dup_rate_x1000
+         FROM cs GROUP BY 1 ORDER BY 1""",
     "q20_dedup_exact" ->
       """SELECT keeper, n FROM (
            SELECT array_to_string(string_split(text,' ')[1:5], ' ') AS p,
@@ -796,5 +835,6 @@ object TextOps {
     "q49_sequence_pack" -> q49SequencePack _,
     "q52_vocab" -> q52Vocab _,
     "q53_length_quantiles" -> q53LengthQuantiles _,
+    "q55_dup_ngrams" -> q55DupNgrams _,
     "q27_fingerprint" -> q27Fingerprint _)
 }

@@ -348,7 +348,100 @@ object VectorOps {
       .orderBy(col("label"))
   }
 
+  /** Full k-means Lloyd training — the IVF-training fixed-point that
+    * q33 (one centroid step) and q34 (search over trained lists) bracket.
+    * Each of the `iters` rounds is the canonical 1000-executor k-means
+    * shape: broadcast the k×64 centroids into the plan as literals (KBs on
+    * the driver regardless of table size), map-side integer-d² argmin
+    * assignment, then ONE map-side-combinable (cluster, dim) partial-sum
+    * shuffle to recompute means. Per round: 1 shuffle + a k·d-bounded
+    * collect — no per-row driver traffic, no iteration-count blowup.
+    *
+    * Arithmetic is all-integer so every round is bit-portable across
+    * engines: coordinates quantize ONCE to ×10⁶ longs, centroid means use
+    * truncating integer division (`div` == DuckDB `//`), d² is a sum of
+    * long squares (order-independent, unlike FP whose summation order can
+    * flip an argmin between near-equidistant centroids and then compound
+    * across rounds). Init = per-label integer means (deterministic seed
+    * partition, as in q33). Ties break to the lower cluster id.
+    */
+  def kmeansLloyd(e: DataFrame, iters: Int): DataFrame = {
+    val xq = e.select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("xq"))
+      .localCheckpoint(true) // quantize once; every round re-reads this
+    // (cluster, dim) truncating integer means; k×64 rows — bounded by k·d,
+    // never by table size
+    def centroids(assigned: DataFrame): Array[(Int, Array[Long])] =
+      assigned.select(col("cluster"), posexplode(col("xq")).as(Seq("i", "x")))
+        .groupBy(col("cluster"), col("i"))
+        .agg(expr("sum(x) div count(1)").as("cq"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cl, rows) =>
+          val v = new Array[Long](rows.map(_.getInt(1)).max + 1)
+          rows.foreach(r => v(r.getInt(1)) = r.getLong(2))
+          cl -> v
+        }
+        .toArray.sortBy(_._1)
+    def assign(cent: Array[(Int, Array[Long])]): DataFrame = {
+      val best = array_min(array(cent.map { case (cl, c) =>
+        struct(
+          aggregate(zip_with(col("xq"), typedLit(c.toSeq),
+              (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, v) => acc + v).as("d2"),
+          lit(cl).as("cluster"))
+      }: _*))
+      xq.select(col("vec_id"), col("xq"),
+        best.getField("cluster").as("cluster"), best.getField("d2").as("d2"))
+    }
+    var cent = centroids(xq.select(col("vec_id"), col("xq"),
+      col("label").as("cluster")))
+    for (_ <- 1 to iters) cent = centroids(assign(cent))
+    assign(cent).groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("d2")).as("inertia"))
+      .orderBy(col("cluster"))
+  }
+
+  /** 2 Lloyd rounds + final assignment; per-cluster sizes and integer
+    * inertia. Oracle = the identical integer recurrence unrolled as a CTE
+    * chain (c0 → a1 → c1 → a2 → c2 → a3).
+    */
+  def q54KmeansLloyd(s: SparkSession, dir: String): DataFrame =
+    kmeansLloyd(emb(s, dir), iters = 2)
+
+  /** One Lloyd assign+recompute CTE pair: assignment `aN` under centroids
+    * `cPrev`, then recomputed centroids `cN`.
+    */
+  private def lloydRoundSql(aN: String, cPrev: String, cN: String): String =
+    s"""$aN AS (SELECT vec_id, cluster FROM (
+           SELECT x.vec_id, c.cluster,
+             ROW_NUMBER() OVER (PARTITION BY x.vec_id
+               ORDER BY SUM((x.x - c.cq) * (x.x - c.cq)), c.cluster) AS rn
+           FROM xq x JOIN $cPrev c USING (i) GROUP BY 1, 2)
+         WHERE rn = 1),
+       $cN AS (SELECT a.cluster, x.i, CAST(SUM(x.x) // COUNT(*) AS BIGINT) AS cq
+               FROM xq x JOIN $aN a USING (vec_id) GROUP BY 1, 2)"""
+
   val oracle: Map[String, String] = Map(
+    "q54_kmeans_lloyd" ->
+      s"""WITH xq AS (
+           SELECT vec_id, label, i,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x
+           FROM embeddings, generate_series(1, 64) AS g(i)),
+         c0 AS (SELECT label AS cluster, i, CAST(SUM(x) // COUNT(*) AS BIGINT) AS cq
+                FROM xq GROUP BY 1, 2),
+         ${lloydRoundSql("a1", "c0", "c1")},
+         ${lloydRoundSql("a2", "c1", "c2")},
+         a3 AS (SELECT vec_id, cluster, d2 FROM (
+             SELECT x.vec_id, c.cluster,
+               SUM((x.x - c.cq) * (x.x - c.cq)) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                 ORDER BY SUM((x.x - c.cq) * (x.x - c.cq)), c.cluster) AS rn
+             FROM xq x JOIN c2 c USING (i) GROUP BY 1, 2)
+           WHERE rn = 1)
+         SELECT cluster, COUNT(*) AS n_vectors, CAST(SUM(d2) AS BIGINT) AS inertia
+         FROM a3 GROUP BY 1 ORDER BY 1""",
     "q30_cosine_near_dup" ->
       """WITH ex AS (
            SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
@@ -517,5 +610,6 @@ object VectorOps {
     "q34_ivf_search" -> q34IvfSearch _,
     "q35_cosine_lsh_verify" -> q35CosineLshVerify _,
     "q36_vector_clusters" -> q36VectorClusters _,
-    "q47_quantize_int8" -> q47QuantizeInt8 _)
+    "q47_quantize_int8" -> q47QuantizeInt8 _,
+    "q54_kmeans_lloyd" -> q54KmeansLloyd _)
 }

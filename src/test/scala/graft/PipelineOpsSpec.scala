@@ -151,4 +151,70 @@ class PipelineOpsSpec extends SparkSpec {
       assert(got(src) === ((n.toLong, kth(50), kth(90), kth(99))), s"source $src")
     }
   }
+
+  test("q54: Lloyd recovers planted clusters from a bad label init") {
+    import spark.implicits._
+    // two tight planted clusters around +x and -x; labels deliberately wrong
+    // for half the points — one Lloyd round must reassign them correctly
+    def v(sign: Double, jitter: Double): Seq[Float] =
+      (0 until 64).map(i => (if (i == 0) sign else jitter / (i + 1)).toFloat)
+    val e = Seq(
+      (0L, 0, v(1.0, 0.01)), (1L, 0, v(0.9, -0.01)),
+      (2L, 1, v(1.1, 0.02)), // mislabeled: belongs with cluster 0
+      (3L, 1, v(-1.0, 0.01)), (4L, 1, v(-0.9, -0.02)),
+      (5L, 0, v(-1.1, 0.02)) // mislabeled: belongs with cluster 1
+    ).toDF("vec_id", "label", "embedding")
+    val out = VectorOps.kmeansLloyd(e, iters = 2).collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(0, 1))
+    // balanced 3/3 split once the mislabeled points migrate
+    assert(out.map(_.getLong(1)).toSeq === Seq(3L, 3L))
+  }
+
+  test("q54: every vector lands in exactly one cluster; reruns are identical") {
+    val a = VectorOps.q54KmeansLloyd(spark, sf).collect()
+    val b = VectorOps.q54KmeansLloyd(spark, sf).collect()
+    assert(a.toSeq === b.toSeq)
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(a.map(_.getLong(1)).sum === total)
+    a.foreach(r => assert(r.getLong(2) >= 0L, s"negative inertia: $r"))
+  }
+
+  test("q54: iterating never raises inertia (beyond integer-mean truncation)") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    def inertia(it: Int): Long =
+      VectorOps.kmeansLloyd(e, it).collect().map(_.getLong(2)).sum
+    val (i0, i2) = (inertia(0), inertia(2))
+    // each truncated-integer recompute sits within 1 of the true mean per
+    // dim, raising inertia by < 64·n per round over the monotone chain;
+    // 2 rounds ⇒ 128·n slack (negligible vs the ×10¹² d² scale)
+    assert(i2 <= i0 + 128L * e.count(), s"inertia rose: $i0 -> $i2")
+  }
+
+  test("q55: duplicated docs drive the per-source n-gram dup rate to 1000") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q55").toString
+    Seq(
+      (0L, "a b c d", "en", "dup_src", 7L),
+      (1L, "a b c d", "en", "dup_src", 7L), // exact dup of doc 0
+      (2L, "p q r s t", "en", "uniq_src", 9L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.q55DupNgrams(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // "a b c d" → 2 shingles per doc, each seen in BOTH docs: all occurrences dup
+    assert(got("dup_src") === ((4L, 2L, 1000L)))
+    // unique doc: 3 shingles, none duplicated
+    assert(got("uniq_src") === ((3L, 3L, 0L)))
+  }
+
+  test("q55: occurrence count bounds distinct count; rate stays in [0,1000]") {
+    val rows = TextOps.q55DupNgrams(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), s"occ < distinct: $r")
+      val rate = r.getLong(3)
+      assert(rate >= 0L && rate <= 1000L, s"rate out of range: $r")
+    }
+  }
 }
