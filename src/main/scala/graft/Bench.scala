@@ -27,16 +27,32 @@ object Bench {
     // so the first timed query isn't charged JVM startup
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // noop write executes the FULL plan (projections, sorts, expression
+    // work) — a count() let Catalyst prune everything but the scan, so
+    // map-only queries timed the parquet reader instead of the operator.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      // noop write executes the FULL plan (projections, sorts, expression
-      // work) — a count() let Catalyst prune everything but the scan, so
-      // map-only queries timed the parquet reader instead of the operator.
       val ok = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
       } catch { case _: Throwable => false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      (name, if (ok) sec else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    // This box's minute-to-minute drift is ~2× (q50 has measured 27.8 s and
+    // 7.3 s on identical code), so a single rep cannot evidence a
+    // regression or a fix on the expensive queries. Queries whose first rep
+    // exceeds the threshold get two more reps and report the MEDIAN; the
+    // many sub-threshold queries stay single-rep to keep total bench
+    // runtime sane (the noise there is absolute-small).
+    val MedianThresholdSec = 3.0
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val first = once(fn)
+      val sec =
+        if (first < MedianThresholdSec) first
+        else Seq(first, once(fn), once(fn)).filter(_ >= 0) match {
+          case reps if reps.nonEmpty => reps.sorted.apply(reps.size / 2)
+          case _ => -1.0
+        }
+      (name, sec)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")

@@ -68,9 +68,15 @@ object TextHash {
     out.toArray
   }
 
-  /** Non-ASCII fallback: fold the UTF-16 code units, exactly like Spark's
-    * `split(c, "")` + `ascii()` (which also sees surrogate halves one code
-    * unit at a time) — same engine-side values, same cross-engine caveat.
+  /** Non-ASCII fallback: fold one value PER CODE POINT, exactly like the
+    * replaced plan — Java's empty-pattern `split(c, "")` keeps surrogate
+    * pairs together (the regex engine is code-point aware) and Spark's
+    * `ascii()` then yields only the HIGH surrogate of a non-BMP element, so
+    * a supplementary character contributes a single `(h*31 + high) % M`
+    * step. Folding both halves would diverge from the old pipeline on
+    * non-BMP input; the low surrogate is therefore skipped. Same
+    * cross-engine caveat as [[PortableHash.poly]] (DuckDB sees whole code
+    * points — ASCII-only domain for oracle parity).
     */
   private def tokenHashesUtf16(s: String): Array[Long] = {
     val out = new scala.collection.mutable.ArrayBuffer[Long](16)
@@ -81,11 +87,14 @@ object TextHash {
       val c = s.charAt(i)
       if (c == ' ') {
         if (len > 0) { out += h; h = 0L; len = 0 }
+        i += 1
       } else {
         h = (h * 31 + c.toLong) % M
         len += 1
+        // skip the trailing low surrogate of a supplementary pair
+        i += (if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+                  Character.isLowSurrogate(s.charAt(i + 1))) 2 else 1)
       }
-      i += 1
     }
     if (len > 0) out += h
     out.toArray

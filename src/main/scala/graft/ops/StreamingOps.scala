@@ -25,29 +25,31 @@ object StreamingOps {
     java.nio.file.Files.createSymbolicLink(
       stage.resolve("events.parquet"),
       java.nio.file.Paths.get(path).toAbsolutePath)
-    val in = s.readStream.schema(schema).parquet(stage.toString)
-    val name = "q60_stream_hourly_sink"
-    s.catalog.dropTempView(name) // idempotent re-run within one session
     // deliberate state sizing: shuffle partitions at query START become the
     // stream's state-store partition count for its lifetime. The hourly-
     // window key space is small (hours × event types), so 8 stores suffice;
     // a batch-sized 32 paid 4× the per-batch store init/commit IO for
     // nothing (measured 2.6 s → 1.4 s warm at sf0.1). A real deployment
-    // sizes this to state volume, not to batch shuffle width.
-    val spKey = "spark.sql.shuffle.partitions"
-    val prevParts = s.conf.get(spKey)
-    s.conf.set(spKey, math.min(8, prevParts.toInt).toString)
+    // sizes this to state volume, not to batch shuffle width. The override
+    // is SCOPED to a cloned session (own SQLConf, shared SparkContext) —
+    // mutating the caller's global conf around start() could be observed by
+    // a concurrently planned job under the engine's FAIR-pool background
+    // commits.
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, s.conf.get("spark.sql.shuffle.partitions").toInt).toString)
+    val in = s2.readStream.schema(schema).parquet(stage.toString)
+    val name = "q60_stream_hourly_sink"
+    s2.catalog.dropTempView(name) // idempotent re-run within one session
     // AvailableNow: process everything present, then stop — the deliberate
     // run-to-completion trigger for a bounded backfill (vs. the default
     // micro-batch trigger, which needs an external processAllAvailable to
     // decide doneness)
-    val q =
-      try EventStreams.hourlyCounts(in)
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Complete())
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      finally s.conf.set(spKey, prevParts)
+    val q = EventStreams.hourlyCounts(in)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
     try q.awaitTermination()
     finally {
       q.stop()
@@ -56,7 +58,7 @@ object StreamingOps {
       java.nio.file.Files.deleteIfExists(stage.resolve("events.parquet"))
       java.nio.file.Files.deleteIfExists(stage)
     }
-    s.table(name)
+    s2.table(name)
       // driver testdata stores ts as TIMESTAMP_NTZ; session TZ is UTC so the
       // cast back is exact and the schema matches the batch twin (q15)
       .select(col("hour").cast("timestamp_ntz").as("hour"),

@@ -234,11 +234,14 @@ object TextOps {
     * splits (90/5/5) that survive reshuffles, repartitions, and reruns:
     * bucket = affine-mix of doc_id over the portable 31-bit family, so ANY
     * engine (and any future rerun) derives the identical split. A pure
-    * map — no shuffle, no RNG state. Requires doc_id < 2³¹ (the hash
-    * family's domain); at larger id spaces, mix a 31-bit fold of the id.
+    * map — no shuffle, no RNG state. The id is folded into the hash
+    * family's 31-bit domain first (`doc_id mod 2³¹`) so a 10^10-doc id
+    * space cannot overflow the affine mix (int64 wrap in Spark would
+    * silently mis-bucket while DuckDB raises — the fold keeps the two
+    * engines identical at any id scale; below 2³¹ it is the identity).
     */
   def q38TrainSplit(s: SparkSession, dir: String): DataFrame = {
-    val bucket = PH.mix(col("doc_id"), 0) % 100
+    val bucket = PH.mix(col("doc_id") % PH.M, 0) % 100
     docs(s, dir).select(col("doc_id"), bucket.as("bucket"),
         when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
           .as("split"))
@@ -304,7 +307,10 @@ object TextOps {
           }
           val total = math.max(0L, n - 1)
           val maxc = if (bgCounts.isEmpty) 0L else bgCounts.valuesIterator.max
-          val distinctRatio = 1000L * nDistinct / n
+          // empty/whitespace-only doc: no tokens → ratio 0 (and the flag
+          // rule then marks it repetitive, i.e. filtered) — mirrored by the
+          // oracle's CASE so neither engine divides by zero
+          val distinctRatio = if (n > 0) 1000L * nDistinct / n else 0L
           val topBigram = if (total > 0) 1000L * maxc / total else 0L
           val dupBigram = if (total > 0) 1000L * (total - bgCounts.size) / total else 0L
           val repetitive = if (topBigram >= 180 || distinctRatio <= 300) 1L else 0L
@@ -339,7 +345,7 @@ object TextOps {
     }.cast("long")
     docs(s, dir)
       .select(col("doc_id"), col("lang"), rate.as("rate"),
-        (PH.mix(col("doc_id"), 7) % 100).as("bucket"))
+        (PH.mix(col("doc_id") % PH.M, 7) % 100).as("bucket"))
       .filter(col("bucket") < col("rate"))
       .orderBy(col("doc_id"))
   }
@@ -658,9 +664,9 @@ object TextOps {
          GROUP BY 1 HAVING COUNT(*) >= $ContamMinShingles
          ORDER BY k.doc_id""",
     "q38_train_split" ->
-      s"""SELECT doc_id, ${graft.functions.PortableHash.mixSql("doc_id", "0")} % 100 AS bucket,
-           CASE WHEN ${graft.functions.PortableHash.mixSql("doc_id", "0")} % 100 < 90 THEN 'train'
-                WHEN ${graft.functions.PortableHash.mixSql("doc_id", "0")} % 100 < 95 THEN 'val'
+      s"""SELECT doc_id, ${graft.functions.PortableHash.mixSql("(doc_id % 2147483648)", "0")} % 100 AS bucket,
+           CASE WHEN ${graft.functions.PortableHash.mixSql("(doc_id % 2147483648)", "0")} % 100 < 90 THEN 'train'
+                WHEN ${graft.functions.PortableHash.mixSql("(doc_id % 2147483648)", "0")} % 100 < 95 THEN 'val'
                 ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
     "q52_vocab" ->
@@ -689,7 +695,7 @@ object TextOps {
            SELECT doc_id, lang,
              CASE lang ${MixRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")}
                   ELSE $MixDefaultRate END AS rate,
-             ${graft.functions.PortableHash.mixSql("doc_id", "7")} % 100 AS bucket
+             ${graft.functions.PortableHash.mixSql("(doc_id % 2147483648)", "7")} % 100 AS bucket
            FROM documents)
          SELECT doc_id, lang, CAST(rate AS BIGINT) AS rate, CAST(bucket AS BIGINT) AS bucket
          FROM rated WHERE bucket < rate ORDER BY doc_id""",
@@ -785,11 +791,14 @@ object TextOps {
          )
          SELECT b.doc_id,
            CAST(b.n_toks AS BIGINT) AS n_toks,
-           CAST(1000 * b.n_distinct // b.n_toks AS BIGINT) AS distinct_ratio_x1000,
+           CAST(CASE WHEN b.n_toks = 0 THEN 0
+                     ELSE 1000 * b.n_distinct // b.n_toks END AS BIGINT) AS distinct_ratio_x1000,
            CAST(coalesce(1000 * a.maxc // a.total, 0) AS BIGINT) AS top_bigram_x1000,
            CAST(coalesce(1000 * (a.total - a.ndist) // a.total, 0) AS BIGINT) AS dup_bigram_x1000,
            CAST(CASE WHEN coalesce(1000 * a.maxc // a.total, 0) >= 180
-                     OR 1000 * b.n_distinct // b.n_toks <= 300 THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+                     OR (CASE WHEN b.n_toks = 0 THEN 0
+                         ELSE 1000 * b.n_distinct // b.n_toks END) <= 300
+                THEN 1 ELSE 0 END AS BIGINT) AS repetitive
          FROM base b LEFT JOIN bga a USING (doc_id) ORDER BY b.doc_id""",
     "q26_token_stats" ->
       """SELECT doc_id,
