@@ -350,37 +350,54 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Coarse-group width for [[q49SequencePack]]'s two-level prefix scan. */
-  private val PackGroup = 64
+  /** Per-level group width for [[q49SequencePack]]'s three-level prefix
+    * scan. 16384 keeps every partitioned window ≤ 16384 rows and the single
+    * unpartitioned top window at n/W² rows — 37 rows at 10^10 docs, still
+    * under 10^6 rows out to 2.7×10^14 docs. The level-1 prefix table is
+    * n/W rows (~600k × 16 B ≈ 10 MB at 10^10 docs), which AQE can still
+    * broadcast; beyond that the equi-join on g1 reuses the level-1
+    * window's own hash partitioning (no hint forces a driver-side build).
+    */
+  private val PackGroup = 16384L
 
   /** q49: sequence packing — concat-and-chop, the layout step that turns a
     * document corpus into fixed-budget training sequences (B = 256 tokens
     * here; 2k–8k in production). Each doc's global token offset is a PREFIX
     * SUM in doc_id order; `seq_id = start/B`, `offset = start%B`, `end_seq`
     * marks boundary-crossing docs. A single global window would serialize
-    * the scan through one task, so the prefix is computed the way
-    * distributed scans are: a running sum WITHIN coarse groups
-    * (`doc_id / 64`, parallel over groups) plus per-group totals prefixed
-    * in a second, groups-only window — that window handles n/64 rows
-    * (tune the divisor so it fits one task at 10^10 docs, or nest a third
-    * level; the data volume through it is 16 bytes/group either way).
+    * the scan through one task, so the prefix is computed as a THREE-level
+    * distributed scan: a running sum within `g1 = doc_id/W` groups
+    * (parallel, ≤ W rows per window partition), g1 totals prefixed within
+    * `g2 = doc_id/W²` groups (parallel, ≤ W rows each), and only the g2
+    * totals — n/W² rows, bounded ≤ ~10⁶ out past 10^14 docs — through the
+    * one unpartitioned window. PlanSpec pins that the sole unpartitioned
+    * window sits above the g2 aggregate, never the full doc relation.
     */
   def q49SequencePack(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val B = 256L
+    val W = PackGroup
     val nToks = size(filter(toks, t => t =!= "")).cast("long")
     val d = docs(s, dir)
       .select(col("doc_id"), nToks.as("n_tokens"),
-        (col("doc_id") / PackGroup).cast("long").as("g"))
-    val withinW = Window.partitionBy(col("g")).orderBy(col("doc_id"))
+        (col("doc_id") / W).cast("long").as("g1"),
+        (col("doc_id") / (W * W)).cast("long").as("g2"))
+    val within1 = Window.partitionBy(col("g1")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val within = d.withColumn("wc", sum(col("n_tokens")).over(withinW))
-    val prefixW = Window.orderBy(col("g"))
+    val l1 = d.withColumn("wc", sum(col("n_tokens")).over(within1))
+    val g1Tot = d.groupBy(col("g1"), col("g2")).agg(sum(col("n_tokens")).as("t1"))
+    val within2 = Window.partitionBy(col("g2")).orderBy(col("g1"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val prefixes = d.groupBy(col("g")).agg(sum(col("n_tokens")).as("gt"))
-      .withColumn("gprefix", sum(col("gt")).over(prefixW) - col("gt"))
-      .select(col("g"), col("gprefix"))
-    within.join(broadcast(prefixes), Seq("g"))
+    val topW = Window.orderBy(col("g2"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g2Prefix = g1Tot.groupBy(col("g2")).agg(sum(col("t1")).as("t2"))
+      .withColumn("p2", sum(col("t2")).over(topW) - col("t2"))
+      .select(col("g2"), col("p2"))
+    val prefixes = g1Tot
+      .withColumn("p1", sum(col("t1")).over(within2) - col("t1"))
+      .join(broadcast(g2Prefix), Seq("g2"))
+      .select(col("g1"), (col("p1") + col("p2")).as("gprefix"))
+    l1.join(prefixes, Seq("g1"))
       .withColumn("c", col("wc") + col("gprefix"))
       .select(col("doc_id"), col("n_tokens"),
         ((col("c") - col("n_tokens")) / B).cast("long").as("seq_id"),

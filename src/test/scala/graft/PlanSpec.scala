@@ -167,4 +167,26 @@ class PlanSpec extends SparkSpec {
         s"payload column read by item-meta scan: ${s.requiredSchema.treeString}")
     }
   }
+
+  test("q49 prefix scan: the only unpartitioned window sits above the g2 aggregate") {
+    // The scale hazard of a distributed prefix sum is a Window with no
+    // partitionSpec over the FULL doc relation (one task, n rows). The
+    // three-level scan is allowed exactly ONE unpartitioned window, and it
+    // must consume the g2-level aggregate (n/W² rows — ~37 at 10^10 docs),
+    // never the raw documents scan.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = graft.ops.TextOps.q49SequencePack(spark, dir)
+    val plan = df.queryExecution.optimizedPlan
+    val unpart = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(unpart.size == 1,
+      s"expected exactly one unpartitioned window, got ${unpart.size}\n$plan")
+    val aggsBelow = unpart.head.child.collect { case a: Aggregate => a }
+    assert(aggsBelow.nonEmpty,
+      s"unpartitioned window reads an unaggregated input:\n${unpart.head}")
+    assert(aggsBelow.head.groupingExpressions.size == 1,
+      s"top window input not reduced to g2 granularity:\n${aggsBelow.head}")
+    // result sanity on the same plan object: packing offsets are in-range
+    val bad = df.filter("offset < 0 OR offset >= 256 OR seq_id > end_seq").count()
+    assert(bad == 0)
+  }
 }
