@@ -366,41 +366,61 @@ object VectorOps {
     * partition, as in q33). Ties break to the lower cluster id.
     */
   def kmeansLloyd(e: DataFrame, iters: Int): DataFrame = {
+    val (xq, cent) = lloydTrain(e, iters)
+    lloydAssign(xq, cent).groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("d2")).as("inertia"))
+      .orderBy(col("cluster"))
+  }
+
+  /** The Lloyd trainer behind [[kmeansLloyd]] and [[q56IvfTrainedSearch]]:
+    * the once-quantized (×10⁶ long) table plus the trained centroids after
+    * `iters` assign+recompute rounds (init = per-label integer means).
+    * Centroid arrays are k·d-bounded driver values by construction — they
+    * re-enter every plan as broadcast literals, never as a joined table.
+    */
+  private[graft] def lloydTrain(
+      e: DataFrame, iters: Int): (DataFrame, Array[(Int, Array[Long])]) = {
     val xq = e.select(col("vec_id"), col("label"),
         transform(col("embedding"),
           x => round(x.cast("double") * 1e6).cast("long")).as("xq"))
       .localCheckpoint(true) // quantize once; every round re-reads this
-    // (cluster, dim) truncating integer means; k×64 rows — bounded by k·d,
-    // never by table size
-    def centroids(assigned: DataFrame): Array[(Int, Array[Long])] =
-      assigned.select(col("cluster"), posexplode(col("xq")).as(Seq("i", "x")))
-        .groupBy(col("cluster"), col("i"))
-        .agg(expr("sum(x) div count(1)").as("cq"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cl, rows) =>
-          val v = new Array[Long](rows.map(_.getInt(1)).max + 1)
-          rows.foreach(r => v(r.getInt(1)) = r.getLong(2))
-          cl -> v
-        }
-        .toArray.sortBy(_._1)
-    def assign(cent: Array[(Int, Array[Long])]): DataFrame = {
-      val best = array_min(array(cent.map { case (cl, c) =>
-        struct(
-          aggregate(zip_with(col("xq"), typedLit(c.toSeq),
-              (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, v) => acc + v).as("d2"),
-          lit(cl).as("cluster"))
-      }: _*))
-      xq.select(col("vec_id"), col("xq"),
-        best.getField("cluster").as("cluster"), best.getField("d2").as("d2"))
-    }
-    var cent = centroids(xq.select(col("vec_id"), col("xq"),
+    var cent = lloydCentroids(xq.select(col("vec_id"), col("xq"),
       col("label").as("cluster")))
-    for (_ <- 1 to iters) cent = centroids(assign(cent))
-    assign(cent).groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_vectors"), sum(col("d2")).as("inertia"))
-      .orderBy(col("cluster"))
+    for (_ <- 1 to iters) cent = lloydCentroids(lloydAssign(xq, cent))
+    (xq, cent)
+  }
+
+  /** (cluster, dim) truncating integer means; k×64 rows — bounded by k·d,
+    * never by table size.
+    */
+  private def lloydCentroids(assigned: DataFrame): Array[(Int, Array[Long])] =
+    assigned.select(col("cluster"), posexplode(col("xq")).as(Seq("i", "x")))
+      .groupBy(col("cluster"), col("i"))
+      .agg(expr("sum(x) div count(1)").as("cq"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cl, rows) =>
+        val v = new Array[Long](rows.map(_.getInt(1)).max + 1)
+        rows.foreach(r => v(r.getInt(1)) = r.getLong(2))
+        cl -> v
+      }
+      .toArray.sortBy(_._1)
+
+  /** Map-side integer-d² argmin assignment of `xq` rows against broadcast
+    * centroid literals; ties break to the lower cluster id (struct
+    * comparison (d2, cluster) == the oracle's ORDER BY d2, cluster).
+    */
+  private def lloydAssign(
+      xq: DataFrame, cent: Array[(Int, Array[Long])]): DataFrame = {
+    val best = array_min(array(cent.map { case (cl, c) =>
+      struct(
+        aggregate(zip_with(col("xq"), typedLit(c.toSeq),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("d2"),
+        lit(cl).as("cluster"))
+    }: _*))
+    xq.select(col("vec_id"), col("xq"),
+      best.getField("cluster").as("cluster"), best.getField("d2").as("d2"))
   }
 
   /** 2 Lloyd rounds + final assignment; per-cluster sizes and integer
@@ -409,6 +429,51 @@ object VectorOps {
     */
   def q54KmeansLloyd(s: SparkSession, dir: String): DataFrame =
     kmeansLloyd(emb(s, dir), iters = 2)
+
+  /** q56: the closed train-then-index IVF loop — search over the centroids
+    * q54 TRAINS (2 Lloyd rounds), not the per-label stand-in quantizer q34
+    * probes. Production shape end-to-end: train once (per round: broadcast
+    * k×d literals → map argmin → one combinable shuffle), then one pure-map
+    * assignment pass over the table that CARRIES the raw embedding (no join
+    * back to fetch payloads), probe the query's nprobe=2 nearest trained
+    * lists, exact-cosine re-rank only those ~nprobe/k of the rows. All
+    * list-selection arithmetic is the same ×10⁶ integer fixed-point as the
+    * trainer, so both engines pick identical probes; only the final cosine
+    * is FP, rounded ×10⁴ like q31/q34. Oracle = q54's CTE chain extended by
+    * assignment-under-c2, probe and re-rank stages.
+    */
+  def q56IvfTrainedSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val (xq, cent) = lloydTrain(e, iters = 2)
+    // query = vec_id 0; probe pick is k-bounded driver math on the SAME
+    // quantized coordinates the trainer used
+    val q0: Array[Long] = xq.filter(col("vec_id") === 0)
+      .select(col("xq")).head().getSeq[Long](0).toArray
+    val probes: Seq[Int] = cent.map { case (cl, c) =>
+      (c.indices.map { i => val d = q0(i) - c(i); d * d }.sum, cl)
+    }.sorted.take(2).map(_._2).toSeq
+    // assignment carrying the payload: one map over the scan (argmin over
+    // broadcast centroid literals), then filter to the probed lists before
+    // any expensive work
+    val xqCol = transform(col("embedding"),
+      x => round(x.cast("double") * 1e6).cast("long"))
+    val best = array_min(array(cent.map { case (cl, c) =>
+      struct(
+        aggregate(zip_with(xqCol, typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("d2"),
+        lit(cl).as("cluster"))
+    }: _*))
+    val q = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe")))
+    e.withColumn("cluster", best.getField("cluster"))
+      .filter(col("cluster").isin(probes: _*) && col("vec_id") =!= 0)
+      .crossJoin(q)
+      .withColumn("cos", cosine(col("embedding"), col("qe")))
+      .select(col("vec_id"), col("cluster"),
+        round(col("cos") * 10000).cast("long").as("cos_x10000"))
+      .orderBy(col("cos_x10000").desc, col("vec_id").asc)
+      .limit(10)
+  }
 
   /** One Lloyd assign+recompute CTE pair: assignment `aN` under centroids
     * `cPrev`, then recomputed centroids `cN`.
@@ -442,6 +507,37 @@ object VectorOps {
            WHERE rn = 1)
          SELECT cluster, COUNT(*) AS n_vectors, CAST(SUM(d2) AS BIGINT) AS inertia
          FROM a3 GROUP BY 1 ORDER BY 1""",
+    "q56_ivf_trained_search" ->
+      s"""WITH xq AS (
+           SELECT vec_id, label, i,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x
+           FROM embeddings, generate_series(1, 64) AS g(i)),
+         c0 AS (SELECT label AS cluster, i, CAST(SUM(x) // COUNT(*) AS BIGINT) AS cq
+                FROM xq GROUP BY 1, 2),
+         ${lloydRoundSql("a1", "c0", "c1")},
+         ${lloydRoundSql("a2", "c1", "c2")},
+         ${lloydRoundSql("a3", "c2", "c3")},
+         probe AS (
+           SELECT cluster FROM (
+             SELECT c.cluster, SUM((x.x - c.cq) * (x.x - c.cq)) AS d2
+             FROM xq x JOIN c2 c USING (i) WHERE x.vec_id = 0 GROUP BY 1)
+           ORDER BY d2, cluster LIMIT 2),
+         ex AS (
+           SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, generate_series(1, 64) AS g(i)),
+         nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nn FROM ex GROUP BY 1),
+         dots AS (
+           SELECT e.vec_id, SUM(e.x * q.x) AS d
+           FROM ex e JOIN ex q ON e.i = q.i AND q.vec_id = 0
+           WHERE e.vec_id <> 0 GROUP BY 1)
+         SELECT a.vec_id, a.cluster,
+           CAST(ROUND(10000.0 * d.d /
+                (n.nn * (SELECT nn FROM nrm WHERE vec_id = 0))) AS BIGINT) AS cos_x10000
+         FROM a3 a
+         JOIN dots d ON d.vec_id = a.vec_id
+         JOIN nrm n ON n.vec_id = a.vec_id
+         WHERE a.cluster IN (SELECT cluster FROM probe) AND a.vec_id <> 0
+         ORDER BY cos_x10000 DESC, a.vec_id ASC LIMIT 10""",
     "q30_cosine_near_dup" ->
       """WITH ex AS (
            SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
@@ -611,5 +707,6 @@ object VectorOps {
     "q35_cosine_lsh_verify" -> q35CosineLshVerify _,
     "q36_vector_clusters" -> q36VectorClusters _,
     "q47_quantize_int8" -> q47QuantizeInt8 _,
-    "q54_kmeans_lloyd" -> q54KmeansLloyd _)
+    "q54_kmeans_lloyd" -> q54KmeansLloyd _,
+    "q56_ivf_trained_search" -> q56IvfTrainedSearch _)
 }
