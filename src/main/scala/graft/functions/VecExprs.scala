@@ -84,6 +84,48 @@ object VecMath {
     }
     ArrayData.toArrayData(out)
   }
+
+  /** Symmetric-int8 quantization summary of one vector in ONE compiled
+    * pass — scale = max|x|/127, qᵢ = round(xᵢ/scale), published as the
+    * (scale_x1e9, Σq, Σq², min q, max q) struct of integer aggregates.
+    * Bit-identical to the higher-order
+    * `transform`/`aggregate`/`array_min`/`array_max` chain it replaces:
+    * float→double casts are exact, max|x| is comparison-based, each qᵢ is
+    * one IEEE division + [[roundHalfAway]] (== Spark `round` == DuckDB
+    * `ROUND` on these magnitudes), and the sums are integer folds
+    * (associative, so any engine's aggregation order matches). Empty
+    * arrays (never produced by the embeddings tables) yield the zero
+    * struct.
+    */
+  def quantizeInt8(a: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val fa = a.toFloatArray()
+    if (fa.isEmpty)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0L, 0L, 0L, 0L))
+    var maxabs = 0.0
+    var i = 0
+    while (i < fa.length) {
+      val v = math.abs(fa(i).toDouble)
+      if (v > maxabs) maxabs = v
+      i += 1
+    }
+    val scale = maxabs / 127.0
+    var qSum = 0L
+    var qSq = 0L
+    var qMin = Long.MaxValue
+    var qMax = Long.MinValue
+    i = 0
+    while (i < fa.length) {
+      val q = if (scale == 0.0) 0L else roundHalfAway(fa(i).toDouble / scale)
+      qSum += q
+      qSq += q * q
+      if (q < qMin) qMin = q
+      if (q > qMax) qMax = q
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](roundHalfAway(scale * 1e9), qSum, qSq, qMin, qMax))
+  }
 }
 
 /** `vec_dot(a, b)` — double dot product of two `array<float>` columns. */
@@ -140,6 +182,37 @@ case class VecLshBitsExpr(child: Expression, bands: Int, planesPerBand: Int)
     copy(child = newChild)
 }
 
+/** `vec_quantize_int8(a)` — int8-quantization summary struct of an
+  * `array<float>` column (see [[VecMath.quantizeInt8]]).
+  */
+case class VecQuantizeInt8Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale_x1e9", LongType, nullable = false),
+    StructField("q_sum", LongType, nullable = false),
+    StructField("q_sq_sum", LongType, nullable = false),
+    StructField("q_min", LongType, nullable = false),
+    StructField("q_max", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> argument, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    VecMath.quantizeInt8(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecMath.quantizeInt8($c)")
+
+  override def prettyName: String = "vec_quantize_int8"
+  override protected def withNewChildInternal(newChild: Expression): VecQuantizeInt8Expr =
+    copy(child = newChild)
+}
+
 /** Column bindings for the native vector expressions. */
 object VecExprs {
   private def toExpr(c: Column) =
@@ -151,6 +224,8 @@ object VecExprs {
 
   def vec_lsh_bits(a: Column, bands: Int, planesPerBand: Int): Column =
     toCol(VecLshBitsExpr(toExpr(a), bands, planesPerBand))
+
+  def vec_quantize_int8(a: Column): Column = toCol(VecQuantizeInt8Expr(toExpr(a)))
 
   /** Registration tuple for [[GraftExtensions]]. */
   private[functions] val registration = (

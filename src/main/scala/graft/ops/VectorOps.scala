@@ -313,22 +313,20 @@ object VectorOps {
     * INTEGER sums — associative, so DuckDB's arbitrary-order aggregation
     * matches Spark's sequential fold bit-for-bit.
     */
-  def q47QuantizeInt8(s: SparkSession, dir: String): DataFrame = {
-    val xd = transform(col("embedding"), x => x.cast("double"))
-    val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+  def q47QuantizeInt8(s: SparkSession, dir: String): DataFrame =
+    // the whole per-vector summary is ONE codegen'd kernel call
+    // (graft.functions.VecMath.quantizeInt8) — the higher-order
+    // transform/aggregate chain it replaced was CodegenFallback and paid an
+    // interpreted lambda per element; values are bit-identical (exact
+    // casts, comparison max, roundHalfAway == both engines' round, integer
+    // sums), so the oracle is unchanged
     emb(s, dir)
-      .withColumn("scale", maxabs / lit(127.0))
-      .withColumn("q", transform(xd, x =>
-        when(col("scale") === 0.0, lit(0L))
-          .otherwise(round(x / col("scale")).cast("long"))))
       .select(col("vec_id"),
-        round(col("scale") * 1e9).cast("long").as("scale_x1e9"),
-        aggregate(col("q"), lit(0L), (a, v) => a + v).as("q_sum"),
-        aggregate(col("q"), lit(0L), (a, v) => a + v * v).as("q_sq_sum"),
-        array_min(col("q")).as("q_min"),
-        array_max(col("q")).as("q_max"))
+        graft.functions.VecExprs.vec_quantize_int8(col("embedding")).as("qz"))
+      .select(col("vec_id"), col("qz.scale_x1e9").as("scale_x1e9"),
+        col("qz.q_sum").as("q_sum"), col("qz.q_sq_sum").as("q_sq_sum"),
+        col("qz.q_min").as("q_min"), col("qz.q_max").as("q_max"))
       .orderBy(col("vec_id"))
-  }
 
   /** Per-label centroid stats — the IVF coarse-quantizer building block:
     * one map-side-combinable aggregation producing k centroids. Output is

@@ -189,4 +189,17 @@ class PlanSpec extends SparkSpec {
     val bad = df.filter("offset < 0 OR offset >= 256 OR seq_id > end_seq").count()
     assert(bad == 0)
   }
+
+  test("q47 quantization is a shuffle-free codegen'd map (native kernel, one sort exchange only)") {
+    // the per-vector summary must ride the scan: no aggregation shuffle, no
+    // CodegenFallback higher-order lambdas — the only Exchange allowed is
+    // the final presentation orderBy's range partitioning
+    val df = graft.ops.VectorOps.q47QuantizeInt8(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"q47 grew a shuffle: $exchanges exchanges\n${p.take(1200)}")
+    assert(p.contains("vec_quantize_int8"), p.take(1200))
+    assert(!p.contains("ArrayAggregate") && !p.contains("ArrayTransform"),
+      s"interpreted higher-order lambdas back in the q47 hot path\n${p.take(1200)}")
+  }
 }

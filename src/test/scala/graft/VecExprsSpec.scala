@@ -97,4 +97,33 @@ class VecExprsSpec extends SparkSpec {
     val ref = if (w.map(_ * viaRound).sum >= 0) 1L else 0L
     assert(nat === Seq(ref))
   }
+
+  test("vec_quantize_int8 equals the higher-order transform/aggregate chain bit-for-bit") {
+    // include the edge shapes: all-zero vector (scale 0 path) and a
+    // negative-tie-prone vector (values at exact multiples of max/254)
+    val edge: Seq[(Long, Array[Float])] = Seq(
+      100L -> Array.fill(64)(0.0f),
+      101L -> Array.tabulate(64)(i => if (i == 0) 127.0f else -0.5f))
+    val df = vecsDf(vecs ++ edge)
+    val xd = transform(col("embedding"), x => x.cast("double"))
+    val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    val ref = df
+      .withColumn("scale", maxabs / lit(127.0))
+      .withColumn("q", transform(xd, x =>
+        when(col("scale") === 0.0, lit(0L))
+          .otherwise(round(x / col("scale")).cast("long"))))
+      .select(col("vec_id"),
+        round(col("scale") * 1e9).cast("long").as("scale_x1e9"),
+        aggregate(col("q"), lit(0L), (a, v) => a + v).as("q_sum"),
+        aggregate(col("q"), lit(0L), (a, v) => a + v * v).as("q_sq_sum"),
+        array_min(col("q")).as("q_min"), array_max(col("q")).as("q_max"))
+      .orderBy(col("vec_id")).collect().toSeq
+    val native = df
+      .select(col("vec_id"), VecExprs.vec_quantize_int8(col("embedding")).as("qz"))
+      .select(col("vec_id"), col("qz.scale_x1e9").as("scale_x1e9"),
+        col("qz.q_sum").as("q_sum"), col("qz.q_sq_sum").as("q_sq_sum"),
+        col("qz.q_min").as("q_min"), col("qz.q_max").as("q_max"))
+      .orderBy(col("vec_id")).collect().toSeq
+    assert(native === ref)
+  }
 }
