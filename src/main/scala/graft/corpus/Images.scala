@@ -75,6 +75,29 @@ object Images {
     img
   }
 
+  /** Integer-math synthetic RGB image — channel c at flat pixel index
+    * p = y·w + x is `(id·40503 + p·2654435761 + c·7919) mod 256`. Unlike
+    * [[synth]] (Random + sin, inexpressible in SQL), every pixel is a pure
+    * integer function of (id, p, c) that an independent engine can
+    * regenerate arithmetically — the image twin of [[Audio]]'s PCM
+    * recurrence, which is what lets the PNG (lossless) decode path be
+    * hash-gated end-to-end instead of rows-only.
+    */
+  def synthInt(id: Long, w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    val n = w * h
+    while (p < n) {
+      val base = id * 40503L + p.toLong * 2654435761L
+      val r = (java.lang.Math.floorMod(base, 256L)).toInt
+      val g = (java.lang.Math.floorMod(base + 7919L, 256L)).toInt
+      val b = (java.lang.Math.floorMod(base + 15838L, 256L)).toInt
+      img.setRGB(p % w, p / w, (r << 16) | (g << 8) | b)
+      p += 1
+    }
+    img
+  }
+
   def encodePng(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)

@@ -50,18 +50,97 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
-  /** REAL image decode + feature extraction, distributed: build a small
-    * synthetic PNG/JPEG corpus on executors, decode with ImageIO in
-    * mapPartitions, recompute phash, and aggregate fidelity stats per format.
-    * (sfDir-independent: image bytes live in the engine's corpus, not the
-    * driver testdata.) Deterministic — rows-only check.
+  /** REAL image decode, HASH-GATED: synthesize an integer-math RGB image
+    * per document ([[Images.synthInt]] — every pixel a pure function of
+    * (doc_id, index, channel)), encode it to REAL PNG bytes (ImageIO),
+    * decode those bytes back (ImageIO), and publish per-channel pixel sums
+    * computed from the DECODED image. PNG is lossless, so the DuckDB
+    * oracle regenerates the pixels arithmetically (the q44 audio recipe)
+    * and the hash check covers synth → PNG encode → PNG decode → feature
+    * math end to end — any codec deviation breaks the sums. Encode and
+    * decode happen INSIDE the task; image bytes never cross a shuffle.
+    * (JPEG, being lossy with encoder-specific output, stays in the
+    * rows-only [[q58JpegFidelity]].)
     */
   def q41ImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16 + (id % 17).toInt
+          val h = 16 + (id % 13).toInt
+          val dec = Images.decode(Images.encodePng(Images.synthInt(id, w, h)))
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var y = 0
+          while (y < dec.getHeight) {
+            var x = 0
+            while (x < dec.getWidth) {
+              val p = dec.getRGB(x, y)
+              rs += (p >> 16) & 0xFF; gs += (p >> 8) & 0xFF; bs += p & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          (id, dec.getWidth.toLong, dec.getHeight.toLong, rs, gs, bs)
+        }
+      }
+      .toDF("doc_id", "w", "h", "r_sum", "g_sum", "b_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  /** REAL image resize, HASH-GATED: the [[q41ImageDecode]] PNGs decoded,
+    * area-average resized to 8×8 ([[Images.resize]] — specified arithmetic:
+    * cell = floor(Σchannel/count + ½), integer grid mapping), re-encoded to
+    * PNG, decoded AGAIN, and per-channel thumbnail sums published from that
+    * second decode. The re-encode→re-decode round trip rides inside the
+    * gate for free (PNG lossless ⇒ identity), so the oracle — which
+    * computes the same grid fold in SQL (integer sums, one IEEE double
+    * division per cell, identical in both engines) — verifies decode,
+    * resize arithmetic AND the encoder round trip.
+    */
+  def q42Thumbnail(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16 + (id % 17).toInt
+          val h = 16 + (id % 13).toInt
+          val img = Images.decode(Images.encodePng(Images.synthInt(id, w, h)))
+          val thumb = Images.decode(Images.encodePng(Images.resize(img, 8, 8)))
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var y = 0
+          while (y < thumb.getHeight) {
+            var x = 0
+            while (x < thumb.getWidth) {
+              val p = thumb.getRGB(x, y)
+              rs += (p >> 16) & 0xFF; gs += (p >> 8) & 0xFF; bs += p & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          (id, thumb.getWidth.toLong, thumb.getHeight.toLong, rs, gs, bs)
+        }
+      }
+      .toDF("doc_id", "tw", "th", "r_sum", "g_sum", "b_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  /** JPEG fidelity over the engine's sinusoid corpus — decode + phash
+    * recompute + byte totals per row. ROWS-ONLY by nature: JPEG is lossy
+    * and its encoder output is implementation-specific, so no independent
+    * SQL engine can regenerate the decoded pixels (the PNG half of the old
+    * q41/q42 is now fully hash-gated instead). The PSNR ≥ 40 dB and
+    * phash-stability invariants are asserted in ImagesSpec.
+    */
+  def q58JpegFidelity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val spec = CorpusSpec(hosts = 2, listPages = 2, detailsPerList = 8)
     SyntheticCorpus.build(s, spec)
       .filter(col("routeId") === SyntheticCorpus.DETAIL && col("statusCode") === 200)
       .as[graft.corpus.CorpusRow]
+      .filter((r: graft.corpus.CorpusRow) => r.fmt == "jpeg")
       .mapPartitions { rows =>
         rows.map { r =>
           val img = Images.decode(r.body)
@@ -75,36 +154,6 @@ object MultimodalOps {
       .agg(count(lit(1)).as("n"), sum(col("phash_match")).as("phash_matches"),
         min(col("w")).as("w"), min(col("h")).as("h"),
         sum(col("nbytes")).as("total_bytes"))
-      .orderBy(col("fmt"))
-  }
-
-  /** REAL image resize, distributed: decode → deterministic area-average
-    * 32×32 thumbnail ([[Images.resize]] — specified arithmetic, not a
-    * platform-dependent `Graphics2D` hint) → re-encode PNG, in
-    * mapPartitions. Aggregates are all-integer (counts, byte totals,
-    * luma ×1000 sums) so the output is bit-stable across runs and
-    * partitionings. Deterministic — rows-only check (no SQL codec exists).
-    */
-  def q42Thumbnail(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val spec = CorpusSpec(hosts = 2, listPages = 2, detailsPerList = 8)
-    SyntheticCorpus.build(s, spec)
-      .filter(col("routeId") === SyntheticCorpus.DETAIL && col("statusCode") === 200)
-      .as[graft.corpus.CorpusRow]
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val img = Images.decode(r.body)
-          val thumb = Images.resize(img, 32, 32)
-          val png = Images.encodePng(thumb)
-          (r.fmt, thumb.getWidth.toLong, thumb.getHeight.toLong,
-            png.length.toLong, math.round(Images.meanLuma(thumb) * 1000))
-        }
-      }
-      .toDF("fmt", "tw", "th", "thumb_bytes", "luma_x1000")
-      .groupBy(col("fmt"))
-      .agg(count(lit(1)).as("n"), min(col("tw")).as("tw"), min(col("th")).as("th"),
-        sum(col("thumb_bytes")).as("total_thumb_bytes"),
-        sum(col("luma_x1000")).as("sum_luma_x1000"))
       .orderBy(col("fmt"))
   }
 
@@ -202,6 +251,50 @@ object MultimodalOps {
                 CAST(sum(v*v) AS BIGINT) AS sum_sq,
                 CAST(sum(CASE WHEN pv IS NOT NULL AND pv*v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
          FROM s GROUP BY doc_id ORDER BY doc_id""",
+    "q41_image_decode" ->
+      """WITH params AS (
+           SELECT doc_id,
+                  CAST(16 + doc_id % 17 AS BIGINT) AS w,
+                  CAST(16 + doc_id % 13 AS BIGINT) AS h
+           FROM documents
+         ), px AS (
+           SELECT p.doc_id, p.w, p.h,
+                  (p.doc_id*40503 + g.i*2654435761) % 256 AS r,
+                  (p.doc_id*40503 + g.i*2654435761 + 7919) % 256 AS g2,
+                  (p.doc_id*40503 + g.i*2654435761 + 15838) % 256 AS b
+           FROM params p,
+                LATERAL (SELECT unnest(generate_series(0, CAST(p.w*p.h AS BIGINT) - 1)) AS i) g
+         )
+         SELECT doc_id, MAX(w) AS w, MAX(h) AS h,
+                CAST(SUM(r) AS BIGINT) AS r_sum,
+                CAST(SUM(g2) AS BIGINT) AS g_sum,
+                CAST(SUM(b) AS BIGINT) AS b_sum
+         FROM px GROUP BY doc_id ORDER BY doc_id""",
+    "q42_thumbnail" ->
+      """WITH params AS (
+           SELECT doc_id,
+                  CAST(16 + doc_id % 17 AS BIGINT) AS w,
+                  CAST(16 + doc_id % 13 AS BIGINT) AS h
+           FROM documents
+         ), px AS (
+           SELECT p.doc_id, p.w, p.h, g.i % p.w AS x, g.i // p.w AS y,
+                  (p.doc_id*40503 + g.i*2654435761) % 256 AS r,
+                  (p.doc_id*40503 + g.i*2654435761 + 7919) % 256 AS g2,
+                  (p.doc_id*40503 + g.i*2654435761 + 15838) % 256 AS b
+           FROM params p,
+                LATERAL (SELECT unnest(generate_series(0, CAST(p.w*p.h AS BIGINT) - 1)) AS i) g
+         ), cells AS (
+           SELECT doc_id, (y * 8) // h AS gy, (x * 8) // w AS gx,
+                  CAST(FLOOR(CAST(SUM(r) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cr,
+                  CAST(FLOOR(CAST(SUM(g2) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cg,
+                  CAST(FLOOR(CAST(SUM(b) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cb
+           FROM px GROUP BY doc_id, gy, gx
+         )
+         SELECT doc_id, CAST(8 AS BIGINT) AS tw, CAST(8 AS BIGINT) AS th,
+                CAST(SUM(cr) AS BIGINT) AS r_sum,
+                CAST(SUM(cg) AS BIGINT) AS g_sum,
+                CAST(SUM(cb) AS BIGINT) AS b_sum
+         FROM cells GROUP BY doc_id ORDER BY doc_id""",
     "q40_decode_stub" ->
       """SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -215,5 +308,6 @@ object MultimodalOps {
     "q41_image_decode" -> q41ImageDecode _,
     "q42_thumbnail" -> q42Thumbnail _,
     "q43_frame_sample" -> q43FrameSample _,
-    "q44_audio_features" -> q44AudioFeatures _)
+    "q44_audio_features" -> q44AudioFeatures _,
+    "q58_jpeg_fidelity" -> q58JpegFidelity _)
 }
