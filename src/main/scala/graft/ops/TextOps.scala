@@ -406,6 +406,43 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q57: the composed release-build pipeline — the end-to-end dataflow a
+    * training-data release actually executes, chained from the SAME stage
+    * operators the pack proves piecewise: shingle → MinHash-LSH → exact
+    * Jaccard verify → connected-component keeper filter
+    * ([[q29DedupClusters]]), intra-doc repetition filter
+    * ([[q45Repetition]]), quality filter ([[q25Quality]]), benchmark
+    * decontamination ([[q37Decontaminate]] + dropping the benchmark source
+    * itself), stratified sampling ([[q48StratifiedSample]]) and
+    * train/val/test assignment ([[q38TrainSplit]]) — one DataFrame,
+    * DuckDB-oracled end to end. Shape at scale: the drop-sides are all
+    * SHRINKING relations (dup losers ≪ n, flagged docs ≪ n), each removed
+    * by one equi-anti-join on doc_id; the per-doc filter stages are pure
+    * maps whose outputs join back co-partitioned on the same key, and the
+    * sample/split stages are hash arithmetic with no shuffle at all.
+    */
+  def q57ReleasePipeline(s: SparkSession, dir: String): DataFrame = {
+    val dupLosers = q29DedupClusters(s, dir)
+      .filter(col("keep") === 0L).select(col("doc_id"))
+    val repBad = q45Repetition(s, dir)
+      .filter(col("repetitive") === 1L).select(col("doc_id"))
+    val qualBad = q25Quality(s, dir)
+      .filter(col("bucket") =!= "ok").select(col("doc_id"))
+    val contam = q37Decontaminate(s, dir).select(col("doc_id"))
+    val sampled = q48StratifiedSample(s, dir).select(col("doc_id"))
+    val splits = q38TrainSplit(s, dir).select(col("doc_id"), col("split"))
+    docs(s, dir)
+      .filter(col("source") =!= BenchmarkSource)
+      .join(dupLosers, Seq("doc_id"), "left_anti")
+      .join(repBad, Seq("doc_id"), "left_anti")
+      .join(qualBad, Seq("doc_id"), "left_anti")
+      .join(contam, Seq("doc_id"), "left_anti")
+      .join(sampled, Seq("doc_id"))
+      .join(splits, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII redaction patterns — email, NANP-style phone, IPv4. Both regex
     * dialects in play (Java in Spark, RE2 in DuckDB) parse these
     * identically: character classes, bounded repetition, `\b` ASCII word
@@ -729,6 +766,67 @@ object TextOps {
            CAST((c - n_tokens) % 256 AS BIGINT) AS offset,
            CAST((c - 1) // 256 AS BIGINT) AS end_seq
          FROM cum ORDER BY doc_id""",
+    "q57_release_pipeline" ->
+      s"""WITH RECURSIVE $minhashVerifySqlCtes,
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM verified
+                   UNION SELECT doc_b, doc_a FROM verified),
+         reach(node, r) AS (
+           SELECT u, u FROM edges
+           UNION
+           SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node),
+         losers AS (
+           SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> MIN(r)),
+         rtoks AS (
+           SELECT doc_id, [t for t in string_split(text,' ') if t <> ''] AS tk
+           FROM documents),
+         rbase AS (
+           SELECT doc_id, len(tk) AS n_toks, len(list_distinct(tk)) AS n_distinct, tk
+           FROM rtoks),
+         rbg AS (
+           SELECT doc_id, tk[i] || ' ' || tk[i+1] AS b
+           FROM rbase,
+                LATERAL (SELECT unnest(generate_series(1, CAST(len(tk) AS BIGINT) - 1)) AS i) g
+           WHERE len(tk) >= 2),
+         rbgc AS (SELECT doc_id, b, count(*) AS c FROM rbg GROUP BY doc_id, b),
+         rbga AS (
+           SELECT doc_id, max(c) AS maxc, sum(c) AS total FROM rbgc GROUP BY doc_id),
+         repbad AS (
+           SELECT b.doc_id FROM rbase b LEFT JOIN rbga a USING (doc_id)
+           WHERE coalesce(1000 * a.maxc // a.total, 0) >= 180
+              OR (CASE WHEN b.n_toks = 0 THEN 0
+                  ELSE 1000 * b.n_distinct // b.n_toks END) <= 300),
+         qualbad AS (
+           SELECT doc_id FROM documents
+           WHERE len(list_filter(string_split(text,' '), x -> x <> '')) < 30
+              OR len(list_filter(string_split(text,' '), x -> x IN ('the','a','of'))) * 5
+                 > len(list_filter(string_split(text,' '), x -> x <> ''))),
+         dfreq AS (SELECT shh, COUNT(*) AS df FROM shh GROUP BY 1),
+         keptsh AS (SELECT s.doc_id, s.shh FROM shh s JOIN dfreq USING (shh)
+                    WHERE df <= $HotShingleDf),
+         bench AS (
+           SELECT DISTINCT k.shh FROM keptsh k
+           JOIN documents d2 ON d2.doc_id = k.doc_id
+           WHERE d2.source = '$BenchmarkSource'),
+         contam AS (
+           SELECT k.doc_id
+           FROM keptsh k
+           JOIN documents dd ON dd.doc_id = k.doc_id AND dd.source <> '$BenchmarkSource'
+           JOIN bench b ON b.shh = k.shh
+           GROUP BY 1 HAVING COUNT(*) >= $ContamMinShingles)
+         SELECT d.doc_id, d.lang, d.source,
+           CASE WHEN ${graft.functions.PortableHash.mixSql("(d.doc_id % 2147483648)", "0")} % 100 < 90 THEN 'train'
+                WHEN ${graft.functions.PortableHash.mixSql("(d.doc_id % 2147483648)", "0")} % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents d
+         WHERE d.source <> '$BenchmarkSource'
+           AND d.doc_id NOT IN (SELECT doc_id FROM losers)
+           AND d.doc_id NOT IN (SELECT doc_id FROM repbad)
+           AND d.doc_id NOT IN (SELECT doc_id FROM qualbad)
+           AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+           AND ${graft.functions.PortableHash.mixSql("(d.doc_id % 2147483648)", "7")} % 100 <
+               CASE d.lang ${MixRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")}
+                    ELSE $MixDefaultRate END
+         ORDER BY d.doc_id""",
     "q29_dedup_clusters" ->
       s"""WITH RECURSIVE $minhashVerifySqlCtes,
          edges AS (SELECT doc_a AS u, doc_b AS v FROM verified
@@ -862,5 +960,6 @@ object TextOps {
     "q52_vocab" -> q52Vocab _,
     "q53_length_quantiles" -> q53LengthQuantiles _,
     "q55_dup_ngrams" -> q55DupNgrams _,
+    "q57_release_pipeline" -> q57ReleasePipeline _,
     "q27_fingerprint" -> q27Fingerprint _)
 }
