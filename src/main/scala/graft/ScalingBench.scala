@@ -22,7 +22,8 @@ import graft.engine.{CrawlEngine, EngineConfig}
   */
 object ScalingBench {
 
-  case class Level(cores: Int, fetched: Long, items: Long, steps: Int, sec: Double) {
+  case class Level(cores: Int, fetched: Long, items: Long, steps: Int,
+      sec: Double, kernel: Double = 0.0) {
     def throughput: Double = fetched / sec
   }
 
@@ -127,9 +128,23 @@ object ScalingBench {
     // best run of each — both levels sample the same noise distribution,
     // and best-of is the standard noisy-host benchmarking reduction.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Co-measured hardware baseline: immediately before every engine level,
+    // run the ISOLATED fetch kernel (graft.tools.CodecCal — no Spark, plain
+    // thread pool, same thread count, same image size) for ~5-10 s. The
+    // host's parallel throughput swings on a multi-minute period (measured
+    // 463-657 pages/s at 16 threads across adjacent probes on 2026-08-17,
+    // vs 820 on the idle box the round-3 gate ran on), so a per-rep
+    // baseline is the only way to separate ENGINE scaling from whatever
+    // state the host happens to be in while a given level runs. The raw
+    // engine ratio stays the headline; the kernel ratio bounds what any
+    // engine could have measured in the same windows.
+    graft.tools.CodecCal.run(200, n4Cores, img) // JIT/class warmup
+    def runLevelCal(cores: Int): Level = {
+      val k = graft.tools.CodecCal.run(300 * cores, cores, img)
+      runLevel(cores, spec, budget, n4Cores).copy(kernel = k)
+    }
     val runs = (1 to reps).flatMap { _ =>
-      Seq(runLevel(nCores, spec, budget, n4Cores),
-        runLevel(n4Cores, spec, budget, n4Cores))
+      Seq(runLevelCal(nCores), runLevelCal(n4Cores))
     }
     // GATED number = ratio of per-level MEDIANS: best-of-N is upward-biased
     // for whichever level catches a lucky quiet window (ADVICE r01). Best-of
@@ -142,6 +157,15 @@ object ScalingBench {
     val n4 = median(n4All)
     val eff = (n4.throughput / n.throughput) / 4.0
     val effBest = (n4All.map(_.throughput).max / nAll.map(_.throughput).max) / 4.0
+    def medD(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+    val nK = medD(nAll.map(_.kernel))
+    val n4K = medD(n4All.map(_.kernel))
+    val kernelEff = (n4K / nK) / 4.0
+    // engine scaling relative to what the hardware expressed in the same
+    // measurement windows (capped at the raw ratio's ceiling of 1 per level
+    // pair by construction only if the engine were lossless; >1 can appear
+    // when engine reps caught better host windows than their kernel probes)
+    val normEff = eff / kernelEff
 
     val md =
       f"""# BENCH — crawl scaling (N vs 4N, sandbox proxy for executors)
@@ -165,6 +189,17 @@ object ScalingBench {
          |reported for the noise floor only — best-of is upward-biased).
          |All throughputs per level: N = ${nAll.map(l => f"${l.throughput}%.0f").mkString(", ")};
          |4N = ${n4All.map(l => f"${l.throughput}%.0f").mkString(", ")} URLs/s.
+         |
+         |**Co-measured hardware baseline** (isolated no-Spark fetch kernel,
+         |`graft.tools.CodecCal`, same thread count + image size, run
+         |immediately before each engine level): per-rep pages/s
+         |N = ${nAll.map(l => f"${l.kernel}%.0f").mkString(", ")};
+         |4N = ${n4All.map(l => f"${l.kernel}%.0f").mkString(", ")}.
+         |Kernel scaling (per-level medians) = $kernelEff%.3f — the ceiling ANY
+         |engine could measure in these windows; the sandbox host's parallel
+         |throughput drifts on a multi-minute period, so the kernel baseline
+         |bounds the host's state during each level. **Engine efficiency
+         |normalized by the same-window kernel ceiling = $normEff%.3f.**
          |
          |Method notes (each measured, see git history):
          |- Levels alternate N,4N ×$reps; median of each level is the gated
@@ -193,6 +228,6 @@ object ScalingBench {
          |""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"), md)
     println(
-      f"""{"metric":"crawl_scaling","n_cores":${n.cores},"n_urls_per_sec":${n.throughput}%.1f,"n4_cores":${n4.cores},"n4_urls_per_sec":${n4.throughput}%.1f,"efficiency":$eff%.3f,"efficiency_best":$effBest%.3f,"fetched":${n4.fetched}}""")
+      f"""{"metric":"crawl_scaling","n_cores":${n.cores},"n_urls_per_sec":${n.throughput}%.1f,"n4_cores":${n4.cores},"n4_urls_per_sec":${n4.throughput}%.1f,"efficiency":$eff%.3f,"efficiency_best":$effBest%.3f,"kernel_eff":$kernelEff%.3f,"normalized_eff":$normEff%.3f,"fetched":${n4.fetched}}""")
   }
 }
