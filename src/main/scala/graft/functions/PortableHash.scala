@@ -41,15 +41,15 @@ object PortableHash {
     * `h = (h*31 + ascii(c)) mod 2^31` over the characters of `c`.
     * The empty-string filter pins identical split semantics in both engines.
     *
-    * DOMAIN: ASCII text only. Spark's `split(c, "")` is UTF-16-based and
-    * splits a non-BMP codepoint into two surrogate halves (and `ascii()`
-    * semantics differ across engines for multibyte input), while DuckDB's
-    * `string_split` yields whole codepoints — so on non-ASCII corpora the
-    * two engines would silently diverge. The driver testdata is ASCII by
-    * construction; a production deployment hashing arbitrary Unicode should
-    * hash codepoints explicitly (e.g. a codepoint-splitting Catalyst
-    * expression over `encode(c,'utf-32be')`) on the Spark side, or swap
-    * [[poly]] for xxhash64 and accept the rows-only gate.
+    * DOMAIN: whole Unicode code points in both engines. Spark's
+    * `split(c, "")` uses Java's code-point-aware regex engine, so a non-BMP
+    * character stays ONE element (a surrogate pair), and `ascii()` on that
+    * element evaluates `codePointAt(0)` — the full code point. DuckDB's
+    * `string_split(c, '')` likewise yields whole code points and its
+    * `ascii()` returns the code point value. Both engines therefore fold
+    * the identical `(h*31 + codePoint) mod 2^31` recurrence on arbitrary
+    * Unicode text (pinned by TextHashExprsSpec's supplementary-character
+    * doc against the native kernel's explicit `codePointAt` fold).
     */
   def poly(c: Column): Column =
     aggregate(

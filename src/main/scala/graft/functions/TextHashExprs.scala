@@ -28,10 +28,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-doc sketches (128 longs / 1 long) reach the banding join.
   *
   * Values are bit-identical to the higher-order forms they replace (same
-  * recurrences over the same UTF-16 code units — an ASCII fast path scans
+  * recurrences over the same Unicode code points — an ASCII fast path scans
   * the UTF-8 bytes directly, which coincides for ASCII), so every DuckDB
-  * oracle that was green against the old pipeline stays green, and the
-  * cross-engine domain caveat is unchanged (see [[PortableHash.poly]]).
+  * oracle that was green against the old pipeline stays green, and
+  * cross-engine parity holds on arbitrary Unicode text (both engines fold
+  * whole code points — see [[PortableHash.poly]]).
   */
 object TextHash {
 
@@ -70,13 +71,14 @@ object TextHash {
 
   /** Non-ASCII fallback: fold one value PER CODE POINT, exactly like the
     * replaced plan — Java's empty-pattern `split(c, "")` keeps surrogate
-    * pairs together (the regex engine is code-point aware) and Spark's
-    * `ascii()` then yields only the HIGH surrogate of a non-BMP element, so
-    * a supplementary character contributes a single `(h*31 + high) % M`
-    * step. Folding both halves would diverge from the old pipeline on
-    * non-BMP input; the low surrogate is therefore skipped. Same
-    * cross-engine caveat as [[PortableHash.poly]] (DuckDB sees whole code
-    * points — ASCII-only domain for oracle parity).
+    * pairs together as ONE element (the regex engine is code-point aware)
+    * and Spark's `ascii()` on that element evaluates
+    * `codePointAt(0)` — the FULL code point (e.g. 128512 for U+1F600), not
+    * the high surrogate. So a supplementary character contributes a single
+    * `(h*31 + codePoint) % M` step with a 2-unit advance, which also
+    * matches DuckDB's `ascii()` over `string_split(text, '')` (whole code
+    * points): non-BMP text hashes identically across BOTH the replaced
+    * Spark plan and the oracle engine.
     */
   private def tokenHashesUtf16(s: String): Array[Long] = {
     val out = new scala.collection.mutable.ArrayBuffer[Long](16)
@@ -89,11 +91,10 @@ object TextHash {
         if (len > 0) { out += h; h = 0L; len = 0 }
         i += 1
       } else {
-        h = (h * 31 + c.toLong) % M
+        val cp = s.codePointAt(i)
+        h = (h * 31 + cp.toLong) % M
         len += 1
-        // skip the trailing low surrogate of a supplementary pair
-        i += (if (Character.isHighSurrogate(c) && i + 1 < s.length &&
-                  Character.isLowSurrogate(s.charAt(i + 1))) 2 else 1)
+        i += Character.charCount(cp)
       }
     }
     if (len > 0) out += h

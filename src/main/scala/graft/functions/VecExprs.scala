@@ -45,10 +45,23 @@ object VecMath {
 
   /** round-half-away-from-zero — the semantics of BOTH Spark's `round()`
     * (BigDecimal HALF_UP) and DuckDB's `ROUND()`. `math.round` would differ
-    * on negative ties (it rounds toward +∞).
+    * on negative ties (it rounds toward +∞), and the classic
+    * `floor(v + 0.5)` differs just below a half-tie (0.49999999999999994 +
+    * 0.5 rounds UP to 1.0 in FP before floor sees it, while HALF_UP on the
+    * exact value yields 0). This form compares the EXACT fractional part
+    * instead: `|v| - floor(|v|)` is exact for doubles (Sterbenz — both
+    * operands are within a factor of 2 once |v| ≥ 1, trivially exact
+    * below), so `frac >= 0.5` is precisely BigDecimal HALF_UP on the
+    * double's value, with no FP-addition edge. Bit-parity with Spark
+    * `round()` is pinned in VecExprsSpec including the adversarial
+    * near-tie values.
     */
-  private def roundHalfAway(v: Double): Long =
-    (if (v >= 0) math.floor(v + 0.5) else -math.floor(-v + 0.5)).toLong
+  private[graft] def roundHalfAway(v: Double): Long = {
+    val a = math.abs(v)
+    val f = math.floor(a)
+    val r = if (a - f >= 0.5) f + 1.0 else f
+    (if (v >= 0) r else -r).toLong
+  }
 
   /** Banded random-hyperplane LSH signature: one long of `planesPerBand`
     * sign bits per band, `bands` entries. Plane j's integer weights are

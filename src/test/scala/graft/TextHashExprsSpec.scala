@@ -15,7 +15,9 @@ class TextHashExprsSpec extends SparkSpec {
 
   // edge cases on purpose: repeated/leading/trailing separators, <3 tokens
   // (no shingles), repeated shingles (dedup), single token, empty string,
-  // and a non-ASCII doc to pin the UTF-16 fallback path
+  // a non-ASCII BMP doc to pin the UTF-16 fallback path, and a
+  // supplementary-character doc (U+1F600, a surrogate PAIR in UTF-16) to
+  // pin the code-point fold against the higher-order split/ascii pipeline
   private val docsSeq: Seq[(Long, String)] = Seq(
     1L -> "the quick brown fox jumps over the lazy dog",
     2L -> "  double  spaces   and trailing  ",
@@ -24,7 +26,8 @@ class TextHashExprsSpec extends SparkSpec {
     5L -> "single",
     6L -> "",
     7L -> "café naïve résumé tokens here now",
-    8L -> (1 to 200).map(i => s"tok${i % 37}").mkString(" "))
+    8L -> (1 to 200).map(i => s"tok${i % 37}").mkString(" "),
+    9L -> s"grin ${new String(Character.toChars(0x1F600))} mid${new String(Character.toChars(0x1F680))}word tokens here now")
 
   private def df = docsSeq.toDF("doc_id", "text")
 

@@ -98,6 +98,25 @@ class VecExprsSpec extends SparkSpec {
     assert(nat === Seq(ref))
   }
 
+  test("roundHalfAway equals Spark round() and BigDecimal HALF_UP on adversarial near-ties") {
+    import spark.implicits._
+    // 0.49999999999999994 is the classic floor(v+0.5) trap: v+0.5 == 1.0 in
+    // FP, but HALF_UP on the exact value is 0. Plus exact ties, negatives,
+    // and a spread of random magnitudes.
+    val rnd = new scala.util.Random(11)
+    val vals: Seq[Double] = Seq(
+      0.49999999999999994, -0.49999999999999994, 0.5, -0.5, 2.5, -2.5,
+      1.4999999999999998, -1.4999999999999998, 0.0, 1e15 + 0.5, -(1e15 + 0.5)) ++
+      Seq.fill(500)((rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(12)))
+    val viaSpark = vals.toDF("v")
+      .select(round(col("v")).cast("long")).as[Long].collect().toSeq
+    val viaKernel = vals.map(VecMath.roundHalfAway)
+    assert(viaKernel === viaSpark)
+    val viaBigDecimal = vals.map(v => java.math.BigDecimal.valueOf(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+    assert(viaKernel === viaBigDecimal)
+  }
+
   test("vec_quantize_int8 equals the higher-order transform/aggregate chain bit-for-bit") {
     // include the edge shapes: all-zero vector (scale 0 path) and a
     // negative-tie-prone vector (values at exact multiples of max/254)
