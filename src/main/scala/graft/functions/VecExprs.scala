@@ -98,6 +98,63 @@ object VecMath {
     ArrayData.toArrayData(out)
   }
 
+  /** Fixed-point quantization of one `array<float>` vector: element i maps
+    * to [[roundHalfAway]]`(xᵢ · scale)` as a long — bit-identical to the
+    * `transform(a, x => round(x.cast("double") * scale).cast("long"))`
+    * chain it replaces (float→double exact, one IEEE multiply, half-up
+    * rounding == Spark `round` == DuckDB `ROUND`), but compiled: the
+    * higher-order `transform` is CodegenFallback and paid an interpreted
+    * lambda + boxed long per element.
+    */
+  def quantizeFixed(a: ArrayData, scale: Double): ArrayData = {
+    val fa = a.toFloatArray()
+    val out = new Array[Long](fa.length)
+    var i = 0
+    while (i < fa.length) {
+      out(i) = roundHalfAway(fa(i).toDouble * scale)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Nearest-centroid assignment of one quantized `array<bigint>` vector
+    * against a k×d long centroid matrix: returns the (d², clusterId) pair
+    * minimizing integer squared L2, ties to the LOWER cluster id — exactly
+    * the `array_min(array(struct(d2, cluster)...))` lexicographic argmin it
+    * replaces. The matrix enters the expression as ONE constant operand
+    * (a codegen reference object), so plan size and codegen size are FLAT
+    * in k: at production IVF list counts (4k–64k centroids) the k-literal
+    * plan this supersedes grew k·d struct expressions and collapsed to
+    * interpreted evaluation, while this loop costs k·d multiplies inside
+    * one compiled method. All-integer, so the argmin is bit-portable to
+    * the DuckDB oracle regardless of either engine's evaluation order.
+    *
+    * `centroids` rows must be sorted by ascending `clusterIds` entry (the
+    * Column binding enforces this), making the strict `<` comparison
+    * tie-break to the lowest id.
+    */
+  def argminD2(x: ArrayData, centroids: Array[Array[Long]],
+      clusterIds: Array[Int]): org.apache.spark.sql.catalyst.InternalRow = {
+    val xs = x.toLongArray()
+    var bestD2 = Long.MaxValue
+    var bestCl = Int.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cc = centroids(c)
+      val n = math.min(xs.length, cc.length)
+      var s = 0L
+      var i = 0
+      while (i < n) { val d = xs(i) - cc(i); s += d * d; i += 1 }
+      if (s < bestD2 || (s == bestD2 && clusterIds(c) < bestCl)) {
+        bestD2 = s
+        bestCl = clusterIds(c)
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD2, bestCl))
+  }
+
   /** Symmetric-int8 quantization summary of one vector in ONE compiled
     * pass — scale = max|x|/127, qᵢ = round(xᵢ/scale), published as the
     * (scale_x1e9, Σq, Σq², min q, max q) struct of integer aggregates.
@@ -226,6 +283,75 @@ case class VecQuantizeInt8Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** `vec_quantize_fixed(a, scale)` — fixed-point long quantization of an
+  * `array<float>` column (see [[VecMath.quantizeFixed]]). The scale is a
+  * plan constant, not a runtime column.
+  */
+case class VecQuantizeFixedExpr(child: Expression, scale: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> argument, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    VecMath.quantizeFixed(a.asInstanceOf[ArrayData], scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecMath.quantizeFixed($c, $scale)")
+
+  override def prettyName: String = "vec_quantize_fixed"
+  override protected def withNewChildInternal(newChild: Expression): VecQuantizeFixedExpr =
+    copy(child = newChild)
+}
+
+/** `vec_argmin_d2(x)` — nearest-centroid struct `(d2, cluster)` of a
+  * quantized `array<bigint>` column against a constant k×d centroid matrix
+  * (see [[VecMath.argminD2]]). The matrix is ONE reference-object operand —
+  * never k plan literals — so analysis, codegen, and plan size are O(1) in
+  * the centroid count.
+  */
+case class VecArgminD2Expr(child: Expression, centroids: Array[Array[Long]],
+    clusterIds: Array[Int])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d2", LongType, nullable = false),
+    StructField("cluster", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if centroids.length == clusterIds.length &&
+        centroids.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a non-empty centroid matrix aligned with its ids")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<bigint> argument, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    VecMath.argminD2(a.asInstanceOf[ArrayData], centroids, clusterIds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centRef = ctx.addReferenceObj("centroids", centroids, "long[][]")
+    val idsRef = ctx.addReferenceObj("clusterIds", clusterIds, "int[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VecMath.argminD2($c, $centRef, $idsRef)")
+  }
+
+  // arrays would print as [[J@... anyway; keep the plan string informative
+  // and k-independent
+  override def toString: String =
+    s"vec_argmin_d2($child, k=${clusterIds.length})"
+  override def prettyName: String = "vec_argmin_d2"
+  override protected def withNewChildInternal(newChild: Expression): VecArgminD2Expr =
+    copy(child = newChild)
+}
+
 /** Column bindings for the native vector expressions. */
 object VecExprs {
   private def toExpr(c: Column) =
@@ -239,6 +365,18 @@ object VecExprs {
     toCol(VecLshBitsExpr(toExpr(a), bands, planesPerBand))
 
   def vec_quantize_int8(a: Column): Column = toCol(VecQuantizeInt8Expr(toExpr(a)))
+
+  def vec_quantize_fixed(a: Column, scale: Double): Column =
+    toCol(VecQuantizeFixedExpr(toExpr(a), scale))
+
+  /** Argmin of integer squared-L2 against `cent` (clusterId → coordinate
+    * row); rows are sorted by cluster id here so [[VecMath.argminD2]]'s
+    * strict-< scan ties to the lowest id.
+    */
+  def vec_argmin_d2(x: Column, cent: Array[(Int, Array[Long])]): Column = {
+    val sorted = cent.sortBy(_._1)
+    toCol(VecArgminD2Expr(toExpr(x), sorted.map(_._2), sorted.map(_._1)))
+  }
 
   /** Registration tuple for [[GraftExtensions]]. */
   private[functions] val registration = (

@@ -349,8 +349,9 @@ object VectorOps {
   /** Full k-means Lloyd training — the IVF-training fixed-point that
     * q33 (one centroid step) and q34 (search over trained lists) bracket.
     * Each of the `iters` rounds is the canonical 1000-executor k-means
-    * shape: broadcast the k×64 centroids into the plan as literals (KBs on
-    * the driver regardless of table size), map-side integer-d² argmin
+    * shape: ship the k×64 centroid matrix as ONE constant operand of the
+    * native argmin kernel (k·d longs on the driver regardless of table
+    * size; plan and codegen flat in k), map-side integer-d² argmin
     * assignment, then ONE map-side-combinable (cluster, dim) partial-sum
     * shuffle to recompute means. Per round: 1 shuffle + a k·d-bounded
     * collect — no per-row driver traffic, no iteration-count blowup.
@@ -374,16 +375,29 @@ object VectorOps {
     * the once-quantized (×10⁶ long) table plus the trained centroids after
     * `iters` assign+recompute rounds (init = per-label integer means).
     * Centroid arrays are k·d-bounded driver values by construction — they
-    * re-enter every plan as broadcast literals, never as a joined table.
+    * re-enter every plan as ONE constant matrix operand of the native
+    * argmin kernel, never as a joined table or as k plan literals.
     */
   private[graft] def lloydTrain(
-      e: DataFrame, iters: Int): (DataFrame, Array[(Int, Array[Long])]) = {
+      e: DataFrame, iters: Int): (DataFrame, Array[(Int, Array[Long])]) =
+    lloydTrainInit(e, iters, col("label").cast("int"))
+
+  /** k-parameterized trainer — k past any label count: deterministic init
+    * cluster = vec_id mod k. Exercised at k=64 in VecExprsSpec to pin that
+    * the assignment plan is flat in k (the k-as-plan-literals shape this
+    * replaced broke down as k approached production IVF list counts).
+    */
+  private[graft] def lloydTrainK(
+      e: DataFrame, iters: Int, k: Int): (DataFrame, Array[(Int, Array[Long])]) =
+    lloydTrainInit(e, iters, pmod(col("vec_id"), lit(k.toLong)).cast("int"))
+
+  private def lloydTrainInit(e: DataFrame, iters: Int,
+      initCluster: Column): (DataFrame, Array[(Int, Array[Long])]) = {
     val xq = e.select(col("vec_id"), col("label"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1e6).cast("long")).as("xq"))
+        graft.functions.VecExprs.vec_quantize_fixed(col("embedding"), 1e6).as("xq"))
       .localCheckpoint(true) // quantize once; every round re-reads this
     var cent = lloydCentroids(xq.select(col("vec_id"), col("xq"),
-      col("label").as("cluster")))
+      initCluster.as("cluster")))
     for (_ <- 1 to iters) cent = lloydCentroids(lloydAssign(xq, cent))
     (xq, cent)
   }
@@ -404,19 +418,19 @@ object VectorOps {
       }
       .toArray.sortBy(_._1)
 
-  /** Map-side integer-d² argmin assignment of `xq` rows against broadcast
-    * centroid literals; ties break to the lower cluster id (struct
-    * comparison (d2, cluster) == the oracle's ORDER BY d2, cluster).
+  /** Map-side integer-d² argmin assignment of `xq` rows against the k×d
+    * centroid matrix — ONE native kernel call per row
+    * ([[graft.functions.VecArgminD2Expr]]): the matrix is a single constant
+    * operand, the compiled loop runs k·d integer ops, and plan/codegen size
+    * is flat in k (the `array_min(array(struct...))` shape it replaces
+    * embedded k struct literals evaluated via interpreted
+    * `zip_with`/`aggregate` lambdas — wrong at production IVF k). Ties
+    * break to the lower cluster id, matching the oracle's
+    * ORDER BY d2, cluster.
     */
-  private def lloydAssign(
+  private[graft] def lloydAssign(
       xq: DataFrame, cent: Array[(Int, Array[Long])]): DataFrame = {
-    val best = array_min(array(cent.map { case (cl, c) =>
-      struct(
-        aggregate(zip_with(col("xq"), typedLit(c.toSeq),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v).as("d2"),
-        lit(cl).as("cluster"))
-    }: _*))
+    val best = graft.functions.VecExprs.vec_argmin_d2(col("xq"), cent)
     xq.select(col("vec_id"), col("xq"),
       best.getField("cluster").as("cluster"), best.getField("d2").as("d2"))
   }
@@ -450,17 +464,12 @@ object VectorOps {
     val probes: Seq[Int] = cent.map { case (cl, c) =>
       (c.indices.map { i => val d = q0(i) - c(i); d * d }.sum, cl)
     }.sorted.take(2).map(_._2).toSeq
-    // assignment carrying the payload: one map over the scan (argmin over
-    // broadcast centroid literals), then filter to the probed lists before
-    // any expensive work
-    val xqCol = transform(col("embedding"),
-      x => round(x.cast("double") * 1e6).cast("long"))
-    val best = array_min(array(cent.map { case (cl, c) =>
-      struct(
-        aggregate(zip_with(xqCol, typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v).as("d2"),
-        lit(cl).as("cluster"))
-    }: _*))
+    // assignment carrying the payload: one map over the scan (native
+    // quantize + argmin kernels — the centroid matrix is one constant
+    // operand, flat in k), then filter to the probed lists before any
+    // expensive work
+    val best = graft.functions.VecExprs.vec_argmin_d2(
+      graft.functions.VecExprs.vec_quantize_fixed(col("embedding"), 1e6), cent)
     val q = broadcast(e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qe")))
     e.withColumn("cluster", best.getField("cluster"))

@@ -190,6 +190,21 @@ class PlanSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("q54/q56 centroid assignment is the native argmin kernel, no interpreted lambdas") {
+    // The k-as-plan-literals argmin (array_min over k struct literals with
+    // zip_with/aggregate lambdas) breaks at production IVF k: plan/codegen
+    // size grew linearly in k·d and the lambdas were CodegenFallback. The
+    // assignment must be ONE vec_argmin_d2 kernel whose centroid matrix is
+    // a constant reference object.
+    for (df <- Seq(graft.ops.VectorOps.q54KmeansLloyd(spark, dir),
+                   graft.ops.VectorOps.q56IvfTrainedSearch(spark, dir))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("vec_argmin_d2"), p.take(1200))
+      assert(!p.contains("ArrayAggregate") && !p.contains("ArrayTransform"),
+        s"interpreted higher-order lambdas back in the assignment path\n${p.take(1200)}")
+    }
+  }
+
   test("q47 quantization is a shuffle-free codegen'd map (native kernel, one sort exchange only)") {
     // the per-vector summary must ride the scan: no aggregation shuffle, no
     // CodegenFallback higher-order lambdas — the only Exchange allowed is

@@ -98,6 +98,71 @@ class VecExprsSpec extends SparkSpec {
     assert(nat === Seq(ref))
   }
 
+  test("vec_quantize_fixed equals the transform+round(x*scale) chain bit-for-bit") {
+    val df = vecsDf(vecs)
+    val ref = df.select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("xq"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = df.select(col("vec_id"),
+        VecExprs.vec_quantize_fixed(col("embedding"), 1e6).as("xq"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native === ref)
+  }
+
+  test("vec_argmin_d2 equals the k-literal array_min(array(struct)) shape, ties to lower id") {
+    val df = vecsDf(vecs)
+      .select(col("vec_id"), VecExprs.vec_quantize_fixed(col("embedding"), 1e6).as("xq"))
+    val centVals: Array[Array[Long]] = vecs.take(5).map(_._2.map(f =>
+      VecMath.roundHalfAway(f.toDouble * 1e6))).toArray
+    // id 9 duplicates id 0's coordinates: every vector tied between them
+    // must resolve to cluster 0, never 9
+    val cent: Array[(Int, Array[Long])] =
+      centVals.zipWithIndex.map { case (c, i) => (i, c) } :+ (9 -> centVals(0))
+    val refBest = array_min(array(cent.map { case (cl, c) =>
+      struct(
+        aggregate(zip_with(col("xq"), typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("d2"),
+        lit(cl).as("cluster"))
+    }: _*))
+    val ref = df.select(col("vec_id"), refBest.getField("cluster").as("cl"),
+        refBest.getField("d2").as("d2"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val natBest = VecExprs.vec_argmin_d2(col("xq"), cent)
+    val nat = df.select(col("vec_id"), natBest.getField("cluster").as("cl"),
+        natBest.getField("d2").as("d2"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(nat === ref)
+    // the exact centroids are in the pool, so the 5 seed vectors self-match
+    (0 until 5).foreach(i => assert(nat(i.toLong) === ((i, 0L))))
+    assert(nat.values.forall(_._1 != 9), "a tie resolved to the higher id")
+  }
+
+  test("Lloyd training is k-scalable: k=64 past the label count, plan flat in k") {
+    import graft.ops.VectorOps
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def assignOf(k: Int) = {
+      val (xq, cent) = VectorOps.lloydTrainK(e, iters = 1, k = k)
+      assert(cent.length == k, s"k=$k trained only ${cent.length} centroids")
+      (VectorOps.lloydAssign(xq, cent), cent)
+    }
+    val (a8, _) = assignOf(8)
+    val (a64, cent64) = assignOf(64) // k well past the 10-label count
+    assert(cent64.length == 64)
+    val rows = a64.collect()
+    assert(rows.map(_.getAs[Int]("cluster")).distinct.length > 10)
+    assert(rows.forall(_.getAs[Long]("d2") >= 0L))
+    // plan shape: the kernel, not k literals — node count identical at 8× k
+    def nodeCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.expressions.map(_.collect { case x => x }.size).sum
+    assert(nodeCount(a8) === nodeCount(a64),
+      s"plan grew with k: ${nodeCount(a8)} vs ${nodeCount(a64)}")
+    val p = a64.queryExecution.executedPlan.toString
+    assert(p.contains("vec_argmin_d2"), p.take(800))
+    assert(!p.contains("ArrayAggregate") && !p.contains("ArrayTransform"),
+      s"interpreted higher-order lambdas back in the assignment path\n${p.take(1200)}")
+  }
+
   test("roundHalfAway equals Spark round() and BigDecimal HALF_UP on adversarial near-ties") {
     import spark.implicits._
     // 0.49999999999999994 is the classic floor(v+0.5) trap: v+0.5 == 1.0 in
