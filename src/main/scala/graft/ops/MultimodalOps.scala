@@ -138,9 +138,11 @@ object MultimodalOps {
     import s.implicits._
     val spec = CorpusSpec(hosts = 2, listPages = 2, detailsPerList = 8)
     SyntheticCorpus.build(s, spec)
-      .filter(col("routeId") === SyntheticCorpus.DETAIL && col("statusCode") === 200)
+      .filter(col("routeId") === SyntheticCorpus.DETAIL && col("statusCode") === 200
+        && col("fmt") === "jpeg") // column predicate BEFORE the typed
+      // boundary: a typed lambda here would deserialize every row and
+      // fence pushdown/pruning below the deserializer
       .as[graft.corpus.CorpusRow]
-      .filter((r: graft.corpus.CorpusRow) => r.fmt == "jpeg")
       .mapPartitions { rows =>
         rows.map { r =>
           val img = Images.decode(r.body)

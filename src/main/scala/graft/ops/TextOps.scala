@@ -123,14 +123,24 @@ object TextOps {
     * groupBy just to fold per-doc mins; now only the 128-long sketch per
     * doc reaches the banding join (the single remaining shuffle).
     */
-  private def minhashCandidates(sharr: DataFrame): DataFrame = {
+  /** Banded MinHash signature rows `(doc_id, band, sig)` of a
+    * (doc_id, sharr) frame — the 128-min signature is ONE native pass per
+    * doc, banded 32×4. THIS relation is the persisted dedup artifact of an
+    * incremental pipeline (see [[q62IncrementalDedup]]): epoch N+1 probes
+    * the stored epoch-≤N rows instead of recomputing them.
+    */
+  private def minhashBands(sharr: DataFrame): DataFrame = {
     val sigs = sharr.select(col("doc_id"),
       graft.functions.TextHashExprs.minhash_sigs(col("sharr"), MinhashPerms).as("mh"))
-    val bands = sigs.select(col("doc_id"), posexplode(array(
+    sigs.select(col("doc_id"), posexplode(array(
       (0 until MinhashBands).map(b => concat_ws(":",
         (0 until MinhashRowsPerBand).map(r =>
           element_at(col("mh"), MinhashRowsPerBand * b + r + 1)): _*)): _*))
       .as(Seq("band", "sig")))
+  }
+
+  private def minhashCandidates(sharr: DataFrame): DataFrame = {
+    val bands = minhashBands(sharr)
     bands.as("a").join(bands.as("b"),
         col("a.sig") === col("b.sig") && col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -153,8 +163,11 @@ object TextOps {
     * shared sketch-then-verify core of [[q28MinhashVerify]] and the cluster
     * assignment [[q29DedupClusters]].
     */
-  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val arr = shingleArr(docs(s, dir)).cache()
+  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame =
+    minhashVerifiedPairsFrom(docs(s, dir))
+
+  private def minhashVerifiedPairsFrom(d: DataFrame): DataFrame = {
+    val arr = shingleArr(d).cache()
     val sets = arr.select(col("doc_id"), explode(col("sharr")).as("shh"))
     val cand = minhashCandidates(arr).select(col("doc_a"), col("doc_b"))
     // set size = array length: a per-row map over the cached arrays, not a
@@ -185,12 +198,74 @@ object TextOps {
     * no driver-side union-find. Only docs with at least one near-dup appear
     * (singletons are trivially their own keeper).
     */
-  def q29DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashVerifiedPairs(s, dir)
+  def q29DedupClusters(s: SparkSession, dir: String): DataFrame =
+    q29ClustersFrom(docs(s, dir))
+
+  private def q29ClustersFrom(d: DataFrame): DataFrame = {
+    val pairs = minhashVerifiedPairsFrom(d)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     GraphOps.connectedComponents(pairs)
       .select(col("node").as("doc_id"), col("cluster"),
         when(col("node") === col("cluster"), 1L).otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q62: two-epoch INCREMENTAL dedup — the operator a continuously-
+    * crawling corpus actually runs: dedup a NEW document batch (epoch 2 =
+    * odd doc_id) against an EXISTING corpus (epoch 1 = even doc_id) whose
+    * banded MinHash signature table ([[minhashBands]]) is the PERSISTED
+    * artifact — the same stored-state-vs-new-observation identity as the
+    * reference's item upsert (/root/reference/src/db/item.js:86-99: new
+    * rows merge against what's already in the store; the store is never
+    * recomputed). Dataflow: only epoch-2 docs pay sketching; their band
+    * rows probe the stored epoch-1 band table by equi-join — new×old
+    * candidates ONLY, never old×old (the existing corpus was already
+    * deduped when it landed) and never new×new (intra-batch dedup is q22's
+    * job) — then exact Jaccard verifies just the candidates' shingle sets
+    * (in production those sets are stored beside the signatures; here the
+    * verify side recomputes them behind a candidate semi-join, a map over
+    * the old scan that prunes before any join work). Emits every epoch-2
+    * doc with keep/drop, its best surviving match (highest J, ties to the
+    * lowest old id) or −1, and the match's J×1000. At 10^10 docs per epoch
+    * the cost is sketch(new) + one banded equi-join against a table that
+    * only ever APPENDS — no quadratic term and no old-side recompute.
+    */
+  def q62IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    // epoch-1 signature table: persisted in production, derived here
+    val oldArr = shingleArr(d.filter(col("doc_id") % 2 === 0)).cache()
+    val newArr = shingleArr(d.filter(col("doc_id") % 2 === 1)).cache()
+    val cand = minhashBands(newArr).as("n")
+      .join(minhashBands(oldArr).as("o"),
+        col("n.band") === col("o.band") && col("n.sig") === col("o.sig"))
+      .select(col("n.doc_id").as("doc_new"), col("o.doc_id").as("doc_old"))
+      .distinct()
+    val newSets = newArr.select(col("doc_id").as("doc_new"), explode(col("sharr")).as("shh"))
+    val oldSets = oldArr.select(col("doc_id").as("doc_old"), explode(col("sharr")).as("shh"))
+    val sizesNew = newArr.select(col("doc_id").as("doc_new"), size(col("sharr")).cast("long").as("szn"))
+    val sizesOld = oldArr.select(col("doc_id").as("doc_old"), size(col("sharr")).cast("long").as("szo"))
+    val common = cand
+      .join(newSets, Seq("doc_new"))
+      .join(oldSets, Seq("doc_old", "shh"))
+      .groupBy(col("doc_new"), col("doc_old"))
+      .agg(count(lit(1)).as("common"))
+    val verified = common
+      .join(sizesNew, Seq("doc_new")).join(sizesOld, Seq("doc_old"))
+      .withColumn("jac_x1000", round(lit(1000.0) * col("common") /
+        (col("szn") + col("szo") - col("common"))).cast("long"))
+      .filter(col("jac_x1000") >= 400)
+    val w = Window.partitionBy(col("doc_new"))
+      .orderBy(col("jac_x1000").desc, col("doc_old").asc)
+    val best = verified.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_new").as("doc_id"), col("doc_old"), col("jac_x1000"))
+    d.filter(col("doc_id") % 2 === 1).select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_old").isNull, 1L).otherwise(0L).as("keep"),
+        coalesce(col("doc_old"), lit(-1L)).as("dup_of"),
+        coalesce(col("jac_x1000"), lit(0L)).as("jac_x1000"))
       .orderBy(col("doc_id"))
   }
 
@@ -214,8 +289,10 @@ object TextOps {
     * first ([[HotShingleDf]], as q21): a shingle every doc contains carries
     * no contamination signal and would flag the whole corpus.
     */
-  def q37Decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+  def q37Decontaminate(s: SparkSession, dir: String): DataFrame =
+    q37From(docs(s, dir))
+
+  private def q37From(d: DataFrame): DataFrame = {
     val sh = shingleHashes(d)
     val hot = sh.groupBy(col("shh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > HotShingleDf).select(col("shh"))
@@ -240,9 +317,12 @@ object TextOps {
     * silently mis-bucket while DuckDB raises — the fold keeps the two
     * engines identical at any id scale; below 2³¹ it is the identity).
     */
-  def q38TrainSplit(s: SparkSession, dir: String): DataFrame = {
+  def q38TrainSplit(s: SparkSession, dir: String): DataFrame =
+    q38From(docs(s, dir))
+
+  private def q38From(d: DataFrame): DataFrame = {
     val bucket = PH.mix(col("doc_id") % PH.M, 0) % 100
-    docs(s, dir).select(col("doc_id"), bucket.as("bucket"),
+    d.select(col("doc_id"), bucket.as("bucket"),
         when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
           .as("split"))
       .orderBy(col("doc_id"))
@@ -290,9 +370,13 @@ object TextOps {
     * parallel over input splits, output rows tiny. Integer x1000 fixed-point
     * (floor division) keeps the DuckDB oracle exact.
     */
-  def q45Repetition(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+  def q45Repetition(s: SparkSession, dir: String): DataFrame =
+    q45From(docs(s, dir))
+
+  private def q45From(d: DataFrame): DataFrame = {
+    val sp = d.sparkSession
+    import sp.implicits._
+    d.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val tk = text.split(' ').filter(_.nonEmpty)
@@ -339,11 +423,14 @@ object TextOps {
     * retry. Salt 7 decorrelates from q38's split buckets (salt 0), so
     * sampling composes with the train/val/test split instead of biasing it.
     */
-  def q48StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+  def q48StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    q48From(docs(s, dir))
+
+  private def q48From(d: DataFrame): DataFrame = {
     val rate = MixRates.foldLeft(lit(MixDefaultRate)) { case (acc, (l, r)) =>
       when(col("lang") === l, r).otherwise(acc)
     }.cast("long")
-    docs(s, dir)
+    d
       .select(col("doc_id"), col("lang"), rate.as("rate"),
         (PH.mix(col("doc_id") % PH.M, 7) % 100).as("bucket"))
       .filter(col("bucket") < col("rate"))
@@ -422,16 +509,21 @@ object TextOps {
     * sample/split stages are hash arithmetic with no shuffle at all.
     */
   def q57ReleasePipeline(s: SparkSession, dir: String): DataFrame = {
-    val dupLosers = q29DedupClusters(s, dir)
+    // materialize the shared base relation ONCE: all six stage subtrees
+    // plus the final join spine read it, and without this each re-derived
+    // the full corpus from parquet (~7 full scans at 100 TB where one
+    // pays). PlanSpec pins the executed plan at ≤2 documents.parquet scans.
+    val d = docs(s, dir).localCheckpoint(true)
+    val dupLosers = q29ClustersFrom(d)
       .filter(col("keep") === 0L).select(col("doc_id"))
-    val repBad = q45Repetition(s, dir)
+    val repBad = q45From(d)
       .filter(col("repetitive") === 1L).select(col("doc_id"))
-    val qualBad = q25Quality(s, dir)
+    val qualBad = q25From(d)
       .filter(col("bucket") =!= "ok").select(col("doc_id"))
-    val contam = q37Decontaminate(s, dir).select(col("doc_id"))
-    val sampled = q48StratifiedSample(s, dir).select(col("doc_id"))
-    val splits = q38TrainSplit(s, dir).select(col("doc_id"), col("split"))
-    docs(s, dir)
+    val contam = q37From(d).select(col("doc_id"))
+    val sampled = q48From(d).select(col("doc_id"))
+    val splits = q38From(d).select(col("doc_id"), col("split"))
+    d
       .filter(col("source") =!= BenchmarkSource)
       .join(dupLosers, Seq("doc_id"), "left_anti")
       .join(repBad, Seq("doc_id"), "left_anti")
@@ -511,10 +603,13 @@ object TextOps {
   }
 
   /** Quality scoring: integer-safe length/token/stopword features + bucket. */
-  def q25Quality(s: SparkSession, dir: String): DataFrame = {
+  def q25Quality(s: SparkSession, dir: String): DataFrame =
+    q25From(docs(s, dir))
+
+  private def q25From(d: DataFrame): DataFrame = {
     val nTok = size(filter(toks, t => t =!= "")).cast("long")
     val nStop = size(filter(toks, t => t.isin("the", "a", "of"))).cast("long")
-    docs(s, dir)
+    d
       .select(col("doc_id"), col("n_chars"), nTok.as("n_tokens"), nStop.as("n_stop"))
       .withColumn("avg_tok_len_x100",
         round(lit(100.0) * col("n_chars") / col("n_tokens")).cast("long"))
@@ -702,6 +797,45 @@ object TextOps {
     "q28_minhash_verify" ->
       s"""WITH $minhashVerifySqlCtes
          SELECT doc_a, doc_b, jac_x1000 FROM verified ORDER BY doc_a, doc_b""",
+    "q62_incremental_dedup" ->
+      s"""WITH $shingleHashesSql,
+         mh AS (
+           SELECT doc_id, p, MIN(${graft.functions.PortableHash.mixSql("shh", "p")}) AS mh
+           FROM shh CROSS JOIN generate_series(0, ${MinhashPerms - 1}) AS pp(p)
+           GROUP BY 1, 2),
+         bands AS (
+           SELECT doc_id, p // $MinhashRowsPerBand AS band,
+                  string_agg(mh::VARCHAR, ':' ORDER BY p) AS sig
+           FROM mh GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+           FROM bands n JOIN bands o ON n.band = o.band AND n.sig = o.sig
+           WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY 1),
+         common AS (
+           SELECT c.doc_new, c.doc_old, COUNT(*) AS common
+           FROM cand c JOIN shh sn ON sn.doc_id = c.doc_new
+                       JOIN shh so ON so.doc_id = c.doc_old AND so.shh = sn.shh
+           GROUP BY 1, 2),
+         verified AS (
+           SELECT c.doc_new, c.doc_old,
+             CAST(ROUND(1000.0 * common / (sn.sz + so.sz - common)) AS BIGINT) AS jac_x1000
+           FROM common c JOIN sizes sn ON sn.doc_id = c.doc_new
+                         JOIN sizes so ON so.doc_id = c.doc_old
+           WHERE CAST(ROUND(1000.0 * common / (sn.sz + so.sz - common)) AS BIGINT) >= 400),
+         best AS (
+           SELECT doc_new, doc_old, jac_x1000 FROM (
+             SELECT doc_new, doc_old, jac_x1000,
+               ROW_NUMBER() OVER (PARTITION BY doc_new
+                 ORDER BY jac_x1000 DESC, doc_old) AS rn
+             FROM verified) WHERE rn = 1)
+         SELECT d.doc_id,
+           CAST(CASE WHEN b.doc_new IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+           CAST(COALESCE(b.doc_old, -1) AS BIGINT) AS dup_of,
+           CAST(COALESCE(b.jac_x1000, 0) AS BIGINT) AS jac_x1000
+         FROM documents d LEFT JOIN best b ON b.doc_new = d.doc_id
+         WHERE d.doc_id % 2 = 1
+         ORDER BY d.doc_id""",
     "q37_decontaminate" ->
       s"""WITH $shingleHashesSql,
          dfreq AS (SELECT shh, COUNT(*) AS df FROM shh GROUP BY 1),
@@ -961,5 +1095,6 @@ object TextOps {
     "q53_length_quantiles" -> q53LengthQuantiles _,
     "q55_dup_ngrams" -> q55DupNgrams _,
     "q57_release_pipeline" -> q57ReleasePipeline _,
+    "q62_incremental_dedup" -> q62IncrementalDedup _,
     "q27_fingerprint" -> q27Fingerprint _)
 }

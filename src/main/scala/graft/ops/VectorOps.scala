@@ -482,6 +482,35 @@ object VectorOps {
       .limit(10)
   }
 
+  /** q59: measured recall@10 of every approximate ANN index in the pack —
+    * the number a production indexing pipeline actually tunes nprobe/bands
+    * against, asserted by a gate instead of claimed. Joins each approximate
+    * top-10 (q32 LSH multi-probe, q34 per-label IVF, q56 trained IVF)
+    * against the exact brute-force top-10 (q31) and emits integer hits +
+    * recall×1000 per index. The left join from the literal index-name
+    * relation keeps a 0-hit index visible as an explicit 0 row (both
+    * engines), not a silently missing group. Cost shape: three index probes
+    * + one 10-row broadcast join — the exact side is the only full scan,
+    * and it is the measurement's definition, not pipeline overhead.
+    */
+  def q59AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = q31AnnTopk(s, dir).select(col("vec_id"))
+    def ids(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("index_name"), col("vec_id"))
+    val approx = ids("ivf_label", q34IvfSearch(s, dir))
+      .unionByName(ids("ivf_trained", q56IvfTrainedSearch(s, dir)))
+      .unionByName(ids("lsh_multiprobe", q32AnnLsh(s, dir)))
+    val hits = approx.join(broadcast(exact), Seq("vec_id"))
+      .groupBy(col("index_name")).agg(count(lit(1)).as("hits"))
+    val names = Seq("ivf_label", "ivf_trained", "lsh_multiprobe").toDF("index_name")
+    names.join(hits, Seq("index_name"), "left")
+      .select(col("index_name"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)) * 100).as("recall_x1000"))
+      .orderBy(col("index_name"))
+  }
+
   /** One Lloyd assign+recompute CTE pair: assignment `aN` under centroids
     * `cPrev`, then recomputed centroids `cN`.
     */
@@ -495,7 +524,7 @@ object VectorOps {
        $cN AS (SELECT a.cluster, x.i, CAST(SUM(x.x) // COUNT(*) AS BIGINT) AS cq
                FROM xq x JOIN $aN a USING (vec_id) GROUP BY 1, 2)"""
 
-  val oracle: Map[String, String] = Map(
+  private val baseOracle: Map[String, String] = Map(
     "q54_kmeans_lloyd" ->
       s"""WITH xq AS (
            SELECT vec_id, label, i,
@@ -666,6 +695,26 @@ object VectorOps {
            CAST(CASE WHEN node = MIN(r) THEN 1 ELSE 0 END AS BIGINT) AS keep
          FROM reach GROUP BY node ORDER BY vec_id""")
 
+  /** The q59 oracle composes the four index oracles verbatim — the recall
+    * measurement can never drift from the indexes it measures.
+    */
+  val oracle: Map[String, String] = baseOracle + ("q59_ann_recall" ->
+    s"""WITH exact AS (SELECT vec_id FROM (${baseOracle("q31_ann_topk")})),
+       approx AS (
+         SELECT 'ivf_label' AS index_name, vec_id FROM (${baseOracle("q34_ivf_search")})
+         UNION ALL
+         SELECT 'ivf_trained' AS index_name, vec_id FROM (${baseOracle("q56_ivf_trained_search")})
+         UNION ALL
+         SELECT 'lsh_multiprobe' AS index_name, vec_id FROM (${baseOracle("q32_ann_lsh")})),
+       h AS (SELECT index_name, COUNT(*) AS hits
+             FROM approx JOIN exact USING (vec_id) GROUP BY 1)
+       SELECT n.index_name,
+         CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         CAST(COALESCE(h.hits, 0) * 100 AS BIGINT) AS recall_x1000
+       FROM (VALUES ('ivf_label'), ('ivf_trained'), ('lsh_multiprobe')) n(index_name)
+       LEFT JOIN h USING (index_name)
+       ORDER BY index_name""")
+
   /** Shared CTE chain of the banded-LSH sketch-then-verify pipeline, ending
     * in CTE `verified(vec_a, vec_b, cos_x10000)` — the oracle twin of
     * [[cosineLshVerify]] at the q35 knobs, used by both q35 and q36.
@@ -715,5 +764,6 @@ object VectorOps {
     "q36_vector_clusters" -> q36VectorClusters _,
     "q47_quantize_int8" -> q47QuantizeInt8 _,
     "q54_kmeans_lloyd" -> q54KmeansLloyd _,
-    "q56_ivf_trained_search" -> q56IvfTrainedSearch _)
+    "q56_ivf_trained_search" -> q56IvfTrainedSearch _,
+    "q59_ann_recall" -> q59AnnRecall _)
 }

@@ -72,6 +72,21 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q59: every approximate ANN index reports a measured, nonzero recall@10") {
+    // the regression tripwire behind the recall gate: a broken banding or
+    // probe-selection change that silently zeroes an index's hits fails
+    // here even before the oracle diff does
+    val rows = VectorOps.q59AnnRecall(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("ivf_label", "ivf_trained", "lsh_multiprobe"))
+    rows.foreach { r =>
+      val recall = r.getLong(2)
+      assert(recall >= 100 && recall <= 1000,
+        s"${r.getString(0)} recall@10 out of band: $recall")
+      assert(recall === r.getLong(1) * 100)
+    }
+  }
+
   test("q48: sample is deterministic across runs and respects per-stratum rates") {
     val a = TextOps.q48StratifiedSample(spark, sf).collect()
     val b = TextOps.q48StratifiedSample(spark, sf).collect()

@@ -190,6 +190,25 @@ class PlanSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("q57 reads documents.parquet at most twice (shared base materialized once)") {
+    // The composed pipeline's six stage subtrees all derive from the same
+    // base relation; before the shared localCheckpoint each re-scanned the
+    // corpus from parquet — ~7 full scans at 100 TB where 1-2 pay.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = graft.ops.TextOps.q57ReleasePipeline(spark, dir)
+    val exec = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val docScans = exec.collect {
+      case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("documents")) => s
+    }
+    assert(docScans.size <= 2,
+      s"q57 re-scans documents.parquet ${docScans.size} times\n${exec.toString.take(1200)}")
+  }
+
   test("q54/q56 centroid assignment is the native argmin kernel, no interpreted lambdas") {
     // The k-as-plan-literals argmin (array_min over k struct literals with
     // zip_with/aggregate lambdas) breaks at production IVF k: plan/codegen
