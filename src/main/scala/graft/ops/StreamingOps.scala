@@ -81,14 +81,71 @@ object StreamingOps {
       .orderBy(col("user_id"))
   }
 
+  /** q63: the streaming dedup guard run as an ACTUAL stream (file source →
+    * watermarked `dropDuplicatesWithinWatermark` → memory sink, append
+    * mode), settled into per-type kept/dropped counts. WHICH physical row
+    * survives a duplicate group depends on intra-batch processing order, so
+    * the gated output aggregates the KEY SET — deterministic by
+    * construction: kept = distinct (hour, user, type) keys, dropped =
+    * total − kept; the oracle computes the same from the batch table. This
+    * closes the one pipeline family the streaming surface didn't touch:
+    * dedup was batch-only (q20/q22/q62), while a continuously-crawling
+    * ingest needs the at-least-once-delivery guard ON the stream.
+    */
+  def q63StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val stage = java.nio.file.Files.createTempDirectory("q63_events")
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve("events.parquet"),
+      java.nio.file.Paths.get(path).toAbsolutePath)
+    // same scoped-session state sizing rationale as q60
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, s.conf.get("spark.sql.shuffle.partitions").toInt).toString)
+    val in = s2.readStream.schema(schema).parquet(stage.toString)
+    val name = "q63_stream_dedup_sink"
+    s2.catalog.dropTempView(name)
+    val q = EventStreams.dedupGuard(in)
+      .select(col("hour"), col("user_id"), col("event_type"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      java.nio.file.Files.deleteIfExists(stage.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(stage)
+    }
+    val kept = s2.table(name)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_kept"))
+    val totals = s2.read.parquet(path)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_total"))
+    totals.join(kept, Seq("event_type"))
+      .select(col("event_type"), col("n_kept"),
+        (col("n_total") - col("n_kept")).as("n_dropped"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_stream_hourly" -> q60StreamHourly _,
-    "q61_error_streaks" -> q61ErrorStreaks _)
+    "q61_error_streaks" -> q61ErrorStreaks _,
+    "q63_stream_dedup" -> q63StreamDedup _)
 
   val oracle: Map[String, String] = Map(
     "q60_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
          FROM events GROUP BY 1,2 ORDER BY 1,2""",
+    "q63_stream_dedup" ->
+      """WITH k AS (
+           SELECT event_type, COUNT(*) AS n_kept FROM (
+             SELECT DISTINCT date_trunc('hour', ts) AS hour, user_id, event_type
+             FROM events)
+           GROUP BY 1),
+         t AS (SELECT event_type, COUNT(*) AS n_total FROM events GROUP BY 1)
+         SELECT t.event_type, k.n_kept, t.n_total - k.n_kept AS n_dropped
+         FROM t JOIN k USING (event_type) ORDER BY 1""",
     "q61_error_streaks" ->
       """WITH g AS (
            SELECT user_id, event_id, event_type,

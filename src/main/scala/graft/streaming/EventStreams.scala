@@ -28,6 +28,26 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("win.start").as("hour"), col("event_type"), col("n"))
 
+  /** Streaming exact-duplicate guard — the ingest twin of the batch dedup
+    * family (q20): drop re-deliveries of the same logical event within the
+    * watermark horizon. Uses Spark's built-in, state-store-backed
+    * `dropDuplicatesWithinWatermark` (the built-in expresses the semantics
+    * exactly, so no custom mapGroupsWithState is justified): state is keyed
+    * by the dedup key and evicted automatically once the watermark passes
+    * an entry's event time — which is precisely what bounds state at
+    * 10^10 events/day: live state ≈ keys seen within the watermark window,
+    * never the stream's history. Dedup key = (hour, user_id, event_type) —
+    * an exact re-delivery within the same hour window; the key's hour
+    * component keeps any two same-key events inside the 2-hour watermark,
+    * so dedup within a key is COMPLETE, not best-effort.
+    */
+  def dedupGuard(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .dropDuplicatesWithinWatermark("hour", "user_id", "event_type")
+
   case class UserSession(userId: Long, nEvents: Long, errorStreak: Int, flagged: Boolean)
 
   /** Custom state: per-user error-streak tracking via mapGroupsWithState —

@@ -40,6 +40,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup guard drops re-deliveries ACROSS micro-batches, keeps distinct keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:${min}%02d:00")
+    val q = EventStreams.dedupGuard(
+        src.toDF().toDF("ts", "user_id", "event_type"))
+      .select(col("user_id"), col("event_type"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_guard")
+      .start()
+    try {
+      // batch 1: one key delivered twice inside the batch + one other key
+      src.addData((ts(0), 1L, "view"), (ts(20), 1L, "view"), (ts(5), 2L, "click"))
+      q.processAllAvailable()
+      val afterB1 = spark.table("dedup_guard").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(afterB1.sorted.toSeq === Seq((1L, "view"), (2L, "click")).sorted,
+        s"batch-1 kept: ${afterB1.mkString(",")}")
+      // batch 2: the batch-1 key re-delivered (state must remember it),
+      // plus a genuinely new key
+      src.addData((ts(30), 1L, "view"), (ts(31), 3L, "view"))
+      q.processAllAvailable()
+      val afterB2 = spark.table("dedup_guard").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(afterB2.length === 3, s"cross-batch dup not dropped: ${afterB2.mkString(",")}")
+      assert(afterB2.count(_ == ((1L, "view"))) === 1)
+      assert(afterB2.contains((3L, "view")))
+    } finally q.stop()
+  }
+
   test("stateful error-streak flags match a sequential replay") {
     import spark.implicits._
     val ev = spark.read.parquet(s"$dir/events.parquet")
