@@ -155,6 +155,38 @@ object VecMath {
       Array[Any](bestD2, bestCl))
   }
 
+  /** Double-precision variant of [[argminD2]] for FP centroids (q34's
+    * per-label mean quantizer): per centroid, d² folds LEFT-TO-RIGHT in
+    * double over the float dims — bit-identical to the
+    * `aggregate(zip_with(x, c, (a,b) => (a-b)*(a-b)), 0.0, +)` chain it
+    * replaces — then rounds ×10⁶ ([[roundHalfAway]] == Spark `round`)
+    * BEFORE the argmin, exactly as both engines' plans do (the rounding is
+    * what makes the FP sum's order difference between Spark and DuckDB
+    * immaterial at the compared precision). Ties to the lower cluster id.
+    */
+  def argminD2Double(x: ArrayData, centroids: Array[Array[Double]],
+      clusterIds: Array[Int]): org.apache.spark.sql.catalyst.InternalRow = {
+    val xs = x.toFloatArray()
+    var bestD2 = Long.MaxValue
+    var bestCl = Int.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cc = centroids(c)
+      val n = math.min(xs.length, cc.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { val d = xs(i).toDouble - cc(i); s += d * d; i += 1 }
+      val d2r = roundHalfAway(s * 1e6)
+      if (d2r < bestD2 || (d2r == bestD2 && clusterIds(c) < bestCl)) {
+        bestD2 = d2r
+        bestCl = clusterIds(c)
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD2, bestCl))
+  }
+
   /** Symmetric-int8 quantization summary of one vector in ONE compiled
     * pass — scale = max|x|/127, qᵢ = round(xᵢ/scale), published as the
     * (scale_x1e9, Σq, Σq², min q, max q) struct of integer aggregates.
@@ -352,6 +384,46 @@ case class VecArgminD2Expr(child: Expression, centroids: Array[Array[Long]],
     copy(child = newChild)
 }
 
+/** `vec_argmin_d2d(x)` — FP-centroid variant of [[VecArgminD2Expr]] over an
+  * `array<float>` column: left-to-right double d² fold, rounded ×10⁶ before
+  * the argmin (see [[VecMath.argminD2Double]]). Same O(1)-in-k constant-
+  * operand shape.
+  */
+case class VecArgminD2DoubleExpr(child: Expression, centroids: Array[Array[Double]],
+    clusterIds: Array[Int])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d2r", LongType, nullable = false),
+    StructField("cluster", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if centroids.length == clusterIds.length &&
+        centroids.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a non-empty centroid matrix aligned with its ids")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> argument, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    VecMath.argminD2Double(a.asInstanceOf[ArrayData], centroids, clusterIds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val idsRef = ctx.addReferenceObj("clusterIds", clusterIds, "int[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VecMath.argminD2Double($c, $centRef, $idsRef)")
+  }
+
+  override def toString: String =
+    s"vec_argmin_d2d($child, k=${clusterIds.length})"
+  override def prettyName: String = "vec_argmin_d2d"
+  override protected def withNewChildInternal(newChild: Expression): VecArgminD2DoubleExpr =
+    copy(child = newChild)
+}
+
 /** Column bindings for the native vector expressions. */
 object VecExprs {
   private def toExpr(c: Column) =
@@ -376,6 +448,11 @@ object VecExprs {
   def vec_argmin_d2(x: Column, cent: Array[(Int, Array[Long])]): Column = {
     val sorted = cent.sortBy(_._1)
     toCol(VecArgminD2Expr(toExpr(x), sorted.map(_._2), sorted.map(_._1)))
+  }
+
+  def vec_argmin_d2d(x: Column, cent: Array[(Int, Array[Double])]): Column = {
+    val sorted = cent.sortBy(_._1)
+    toCol(VecArgminD2DoubleExpr(toExpr(x), sorted.map(_._2), sorted.map(_._1)))
   }
 
   /** Registration tuple for [[GraftExtensions]]. */

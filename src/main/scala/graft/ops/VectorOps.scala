@@ -268,19 +268,15 @@ object VectorOps {
         lbl -> v
       }
       .toArray.sortBy(_._1)
-    def d2(c: Array[Double]): Column = aggregate(
-      zip_with(col("embedding"), typedLit(c.toSeq),
-        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (acc, v) => acc + v)
-    // assignment: argmin over k (d2, label) structs — ties break to the
-    // lower label, matching the oracle's ORDER BY. d2 is ROUNDED to a fixed
-    // integer scale (×10⁶) in BOTH engines before the argmin: Spark folds
-    // the 64 dims sequentially while DuckDB's hash agg sums in arbitrary
-    // order, and non-associative FP addition could otherwise flip the
-    // cluster pick for near-equidistant vectors.
-    def d2r(c: Array[Double]): Column = round(d2(c) * 1e6).cast("long")
-    val best = array_min(array(cent.map { case (lbl, c) =>
-      struct(d2r(c).as("d2r"), lit(lbl).as("cluster")) }: _*))
+    // assignment: native argmin kernel over the k×d double centroid matrix
+    // (ONE constant operand — flat in k, like q54/q56's integer twin); ties
+    // break to the lower label, matching the oracle's ORDER BY. d2 is
+    // ROUNDED to a fixed integer scale (×10⁶) in BOTH engines before the
+    // argmin: the kernel folds the 64 dims sequentially (bit-identical to
+    // the aggregate(zip_with(...)) chain it replaced) while DuckDB's hash
+    // agg sums in arbitrary order, and non-associative FP addition could
+    // otherwise flip the cluster pick for near-equidistant vectors.
+    val best = graft.functions.VecExprs.vec_argmin_d2d(col("embedding"), cent)
     val assigned = e.withColumn("cluster", best.getField("cluster"))
     // probe selection for the query vector (vec_id = 0), driver-side —
     // same ×10⁶ rounding as the distributed assignment

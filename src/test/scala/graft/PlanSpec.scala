@@ -216,9 +216,10 @@ class PlanSpec extends SparkSpec {
     // assignment must be ONE vec_argmin_d2 kernel whose centroid matrix is
     // a constant reference object.
     for (df <- Seq(graft.ops.VectorOps.q54KmeansLloyd(spark, dir),
-                   graft.ops.VectorOps.q56IvfTrainedSearch(spark, dir))) {
+                   graft.ops.VectorOps.q56IvfTrainedSearch(spark, dir),
+                   graft.ops.VectorOps.q34IvfSearch(spark, dir))) {
       val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("vec_argmin_d2"), p.take(1200))
+      assert(p.contains("vec_argmin_d2"), p.take(1200)) // matches _d2d too
       assert(!p.contains("ArrayAggregate") && !p.contains("ArrayTransform"),
         s"interpreted higher-order lambdas back in the assignment path\n${p.take(1200)}")
     }

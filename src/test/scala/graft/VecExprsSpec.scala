@@ -138,6 +138,31 @@ class VecExprsSpec extends SparkSpec {
     assert(nat.values.forall(_._1 != 9), "a tie resolved to the higher id")
   }
 
+  test("vec_argmin_d2d equals the rounded-FP array_min(array(struct)) shape, ties to lower id") {
+    val df = vecsDf(vecs)
+    val centVals: Array[Array[Double]] =
+      vecs.take(4).map(_._2.map(_.toDouble * 0.9 + 0.01)).toArray
+    // id 8 duplicates id 0's coordinates: ties must resolve to 0, never 8
+    val cent: Array[(Int, Array[Double])] =
+      centVals.zipWithIndex.map { case (c, i) => (i, c) } :+ (8 -> centVals(0))
+    def d2(c: Array[Double]) = aggregate(
+      zip_with(col("embedding"), typedLit(c.toSeq),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val refBest = array_min(array(cent.map { case (cl, c) =>
+      struct(round(d2(c) * 1e6).cast("long").as("d2r"), lit(cl).as("cluster"))
+    }: _*))
+    val ref = df.select(col("vec_id"), refBest.getField("cluster").as("cl"),
+        refBest.getField("d2r").as("d2r"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val natBest = VecExprs.vec_argmin_d2d(col("embedding"), cent)
+    val nat = df.select(col("vec_id"), natBest.getField("cluster").as("cl"),
+        natBest.getField("d2r").as("d2r"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(nat === ref)
+    assert(nat.values.forall(_._1 != 8), "a tie resolved to the higher id")
+  }
+
   test("Lloyd training is k-scalable: k=64 past the label count, plan flat in k") {
     import graft.ops.VectorOps
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
