@@ -183,6 +183,15 @@ object VectorOps {
     * exact baseline; THIS is the plan that survives 10^9 vectors.
     */
   def cosineLshVerify(e: DataFrame, bands: Int, planesPerBand: Int,
+      minCos: Double, hotBucketCap: Int = 1024): DataFrame =
+    cosineLshVerifyPairs(e, bands, planesPerBand, minCos, hotBucketCap)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** [[cosineLshVerify]] without the final presentation sort — the shape
+    * consumers that re-shuffle anyway (q36's CC, q64's per-key window)
+    * build on, so no global sort is paid just to be thrown away.
+    */
+  private def cosineLshVerifyPairs(e: DataFrame, bands: Int, planesPerBand: Int,
       minCos: Double, hotBucketCap: Int = 1024): DataFrame = {
     // cached: the signature feeds the hot-bucket aggregate AND both sides of
     // the candidate self-join — without it the projection aggregate runs 3×
@@ -211,7 +220,6 @@ object VectorOps {
       .filter(col("cos") >= minCos)
       .select(col("vec_a"), col("vec_b"),
         round(col("cos") * 10000).cast("long").as("cos_x10000"))
-      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** q35's banding knobs — shared by the Spark plan and the oracle SQL so
@@ -234,13 +242,44 @@ object VectorOps {
     * pair decision.
     */
   def q36VectorClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = cosineLshVerify(emb(s, dir), bands = Q35Bands,
+    val pairs = cosineLshVerifyPairs(emb(s, dir), bands = Q35Bands,
       planesPerBand = Q35PlanesPerBand, minCos = 0.35)
       .select(col("vec_a").as("a"), col("vec_b").as("b"))
     GraphOps.connectedComponents(pairs)
       .select(col("node").as("vec_id"), col("cluster"),
         when(col("node") === col("cluster"), 1L).otherwise(0L).as("keep"))
       .orderBy(col("vec_id"))
+  }
+
+  /** q64: distributed k-NN JOIN — every vector gets its top-k nearest
+    * neighbors in one pass, the shape semantic dedup / retrieval-eval /
+    * cluster-seeding pipelines actually run (the single-query probes
+    * q31/q32/q34/q56 answer "find matches for THIS vector"; a corpus
+    * release needs "for EVERY vector"). Built on the same banded-LSH
+    * sketch-then-verify machinery as q35: candidates come from band-bucket
+    * equi-joins (never all pairs), only candidates pay the exact cosine,
+    * and the per-vector top-k is a window partitioned BY vec_id — millions
+    * of independent partitions, each a handful of candidate rows, never a
+    * global sort. Mirroring the a<b pairs into both directions is a pure
+    * map. Ranking compares the ×10⁴-rounded integer cosine (ties to the
+    * lower neighbor id) so both engines rank identical values. At 10^9
+    * vectors the knobs move exactly as q35's scaladoc lays out (r grows
+    * with log n, b with the recall target); the plan shape is unchanged.
+    */
+  def q64KnnJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val verified = cosineLshVerifyPairs(emb(s, dir), bands = Q35Bands,
+      planesPerBand = Q35PlanesPerBand, minCos = 0.35)
+    val sym = verified.select(
+        col("vec_a").as("vec_id"), col("vec_b").as("neighbor"), col("cos_x10000"))
+      .unionByName(verified.select(
+        col("vec_b").as("vec_id"), col("vec_a").as("neighbor"), col("cos_x10000")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_x10000").desc, col("neighbor").asc)
+    sym.withColumn("nb_rank", row_number().over(w).cast("long"))
+      .filter(col("nb_rank") <= 3)
+      .select(col("vec_id"), col("nb_rank"), col("neighbor"), col("cos_x10000"))
+      .orderBy(col("vec_id"), col("nb_rank"))
   }
 
   /** IVF (inverted-file) search — assignment + probe, the step beyond the
@@ -662,6 +701,19 @@ object VectorOps {
     "q35_cosine_lsh_verify" ->
       s"""WITH $lshVerifySqlCtes
          SELECT vec_a, vec_b, cos_x10000 FROM verified ORDER BY vec_a, vec_b""",
+    "q64_knn_join" ->
+      s"""WITH $lshVerifySqlCtes,
+         sym AS (
+           SELECT vec_a AS vec_id, vec_b AS neighbor, cos_x10000 FROM verified
+           UNION ALL
+           SELECT vec_b AS vec_id, vec_a AS neighbor, cos_x10000 FROM verified),
+         ranked AS (
+           SELECT vec_id, neighbor, cos_x10000,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY cos_x10000 DESC, neighbor ASC) AS nb_rank
+           FROM sym)
+         SELECT vec_id, CAST(nb_rank AS BIGINT) AS nb_rank, neighbor, cos_x10000
+         FROM ranked WHERE nb_rank <= 3 ORDER BY vec_id, nb_rank""",
     "q47_quantize_int8" ->
       """WITH ex AS (
            SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
@@ -761,5 +813,6 @@ object VectorOps {
     "q47_quantize_int8" -> q47QuantizeInt8 _,
     "q54_kmeans_lloyd" -> q54KmeansLloyd _,
     "q56_ivf_trained_search" -> q56IvfTrainedSearch _,
-    "q59_ann_recall" -> q59AnnRecall _)
+    "q59_ann_recall" -> q59AnnRecall _,
+    "q64_knn_join" -> q64KnnJoin _)
 }

@@ -87,6 +87,31 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q64: kNN join emits ranked, verified, non-self neighbors per vector") {
+    val rows = VectorOps.q64KnnJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // ranks are 1..n(≤3) contiguous and cosine is non-increasing per vector
+    rows.groupBy(_.getLong(0)).foreach { case (vid, nb) =>
+      val sorted = nb.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to sorted.length).toSeq,
+        s"vec $vid ranks not contiguous")
+      assert(sorted.length <= 3, s"vec $vid has ${sorted.length} > k neighbors")
+      val cs = sorted.map(_.getLong(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"vec $vid cosine not non-increasing: ${cs.toSeq}")
+      sorted.foreach(r => assert(r.getLong(2) !== vid, s"vec $vid is its own neighbor"))
+    }
+    // every emitted edge is one of q35's verified near-dup pairs (either
+    // direction) — the kNN join adds ranking, never new pairs
+    val verified = VectorOps.q35CosineLshVerify(spark, sf).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    rows.foreach { r =>
+      assert(verified.contains((r.getLong(0), r.getLong(2))),
+        s"edge (${r.getLong(0)}, ${r.getLong(2)}) not in the verified pair set")
+    }
+  }
+
   test("q48: sample is deterministic across runs and respects per-stratum rates") {
     val a = TextOps.q48StratifiedSample(spark, sf).collect()
     val b = TextOps.q48StratifiedSample(spark, sf).collect()
