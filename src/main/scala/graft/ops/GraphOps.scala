@@ -61,9 +61,12 @@ object GraphOps {
       val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val lsMin = bidir.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // no distinct here: small-star's aggregates and its own final
+      // distinct tolerate duplicate edges (|ls| stays ≤ |bidir|, linear),
+      // and dropping it removes one full exchange per round
       val ls = bidir.join(lsMin, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
       // small-star (edges arrive (big → small)-oriented from large-star)
       val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
       val ss = ls.join(ssMin, "u").select(col("v").as("u"), col("m").as("v"))
@@ -144,7 +147,12 @@ object GraphOps {
     * [[PageRankIters]] rounds.
     */
   def q51PageRank(s: SparkSession, dir: String): DataFrame = {
+    // materialize the node list ONCE: every one of the 10 rank rounds joins
+    // against it, and without this each round's plan re-scanned the corpus
+    // from parquet — 10 scans at 100 TB where one pays (the count() below
+    // reads the same materialized rows, so no extra scan for N either)
     val d = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+      .localCheckpoint(true)
     // N is one scalar of metadata (the modulus of the link rules), not data
     val n = d.count()
     val edges = d.select(col("doc_id").as("src"),

@@ -35,8 +35,8 @@ object MultimodalOps {
     */
   def q40DecodeStub(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text"))
+    Scans.spread(s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         // batch loop mirrors an Arrow-batch UDF: decode in groups of 64
@@ -64,8 +64,10 @@ object MultimodalOps {
     */
   def q41ImageDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    // PNG encode+decode per row is the heaviest per-row kernel in the pack:
+    // widen a narrow (single-row-group) scan or the codecs run one-core
+    Scans.spread(s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val w = 16 + (id % 17).toInt
@@ -101,8 +103,10 @@ object MultimodalOps {
     */
   def q42Thumbnail(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    // two PNG encode+decode round trips per row — same widen-if-narrow
+    // rationale as q41
+    Scans.spread(s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")), col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val w = 16 + (id % 17).toInt
@@ -213,8 +217,10 @@ object MultimodalOps {
   def q44AudioFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.corpus.Audio
-    s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("n_chars"))
+    // WAV encode + RIFF walk per row — widen a narrow scan (no-op at
+    // production row-group counts)
+    Scans.spread(s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars")), col("doc_id"))
       .as[(Long, Long)]
       .mapPartitions { rows =>
         rows.map { case (id, nChars) =>

@@ -32,16 +32,21 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  /** O2 priority dequeue: top-1 per group by (priority desc, key asc). */
-  def q02PriorityTopk(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+  /** O2 priority dequeue: top-1 per group by (priority desc, key asc).
+    * Expressed as a max(struct) aggregate, not a window: the argmax
+    * combines MAP-SIDE (a window must shuffle + sort every row of the
+    * group), so at 10^10 orders each partition forwards one candidate per
+    * key instead of its whole slice. The struct comparator (price asc,
+    * negated key asc) picks exactly the window's (price desc, key asc)
+    * first row — same double compared, same integer tiebreak.
+    */
+  def q02PriorityTopk(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("o_custkey"), col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+      .groupBy(col("o_custkey"))
+      .agg(max(struct(col("o_totalprice"), (-col("o_orderkey")).as("nk"))).as("b"))
+      .select(col("o_custkey"), (-col("b.nk")).as("o_orderkey"),
+        cents(col("b.o_totalprice")).as("price_cents"))
       .orderBy(col("o_custkey"))
-  }
 
   /** O3 eligibility filter: predicate + isin-negation. */
   def q03EligibilityFilter(s: SparkSession, dir: String): DataFrame =
@@ -78,16 +83,19 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"))
       .orderBy(col("p_brand"))
 
-  /** O9 item upsert: last-writer-wins per key. */
-  def q07UpsertMerge(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
+  /** O9 item upsert: last-writer-wins per key. max(struct) argmax instead
+    * of a window for the same map-side-combine reason as [[q02PriorityTopk]]
+    * — LWW is "keep the max (ts, event_id) row per key", a partial-aggregable
+    * fold (event_id is the unique writer id, so the struct compare never
+    * reaches the payload field).
+    */
+  def q07UpsertMerge(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("b"))
+      .select(col("user_id"), col("b.event_id").as("event_id"),
+        col("b.event_type").as("event_type"))
       .orderBy(col("user_id"))
-  }
 
   /** frontier growth: union + distinct (set semantics). */
   def q08UnionDedup(s: SparkSession, dir: String): DataFrame =
@@ -132,21 +140,20 @@ object RelationalQueries {
       .filter(col("n_errors") >= 3)
       .orderBy(col("user_id"))
 
-  /** analytic frame: running total (cents) per user, reporting the final row. */
-  def q13RunningTotal(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("event_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
+  /** analytic frame: running total (cents) per user, reporting the final
+    * row. The final row of a running sum IS the group sum, so the operator
+    * is one map-side-combinable aggregate — the two windows this replaces
+    * (a cumulative frame + a rank to pick its last row) shuffled and sorted
+    * every event twice to produce the same per-user integer. Values are
+    * identical: cents are per-row rounded longs and long addition is
+    * associative, which is exactly why the oracle was already the GROUP BY
+    * form.
+    */
+  def q13RunningTotal(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .withColumn("cents", cents(col("value")))
-      .withColumn("running_cents", sum(col("cents")).over(w))
-      .withColumn("rn", row_number().over(ranked))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("running_cents").as("total_cents"))
+      .groupBy(col("user_id"))
+      .agg(sum(cents(col("value"))).as("total_cents"))
       .orderBy(col("user_id"))
-  }
 
   /** rollup aggregation (grouping sets family). */
   def q14Rollup(s: SparkSession, dir: String): DataFrame =

@@ -47,19 +47,29 @@ object TextOps {
     * The oracle computes the identical hash, so parity is by construction.
     */
   def q21NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleHashes(docs(s, dir)).cache()
-    // hot set is tiny by construction (few stop-phrases) — broadcast anti-join
-    val hot = sh.groupBy(col("shh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > HotShingleDf).select(col("shh"))
-    val kept = sh.join(broadcast(hot), Seq("shh"), "left_anti")
-    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val pairs = kept.as("a").join(kept.as("b"),
+    val arr = shingleArr(docs(s, dir)).cache()
+    // hot set is tiny by construction (few stop-phrases; the same bound the
+    // old broadcast anti-join relied on) — fold it to ONE array row so the
+    // df-cap becomes a per-row array_except map over the cached arrays
+    // instead of an anti-join over every exploded (doc, shh) row
+    val hot = arr.select(explode(col("sharr")).as("shh"))
+      .groupBy(col("shh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > HotShingleDf)
+    val hotArr = hot.agg(collect_set(col("shh")).as("hotset"))
+    // kept rows CARRY the per-doc kept-set size, so no separate size
+    // aggregate and no two size joins after the pair count: the sizes ride
+    // the (already necessary) shingle equi-join and fold into its groupBy
+    // keys (functionally dependent on doc ids — zero extra groups)
+    val kept = arr.crossJoin(broadcast(hotArr))
+      .select(col("doc_id"), array_except(col("sharr"), col("hotset")).as("ka"))
+      .filter(size(col("ka")) > 0)
+      .select(col("doc_id"), size(col("ka")).cast("long").as("sz"),
+        explode(col("ka")).as("shh"))
+    kept.as("a").join(kept.as("b"),
         col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
       .agg(count(lit(1)).as("common"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
       .withColumn("jac_x1000",
         round(lit(1000.0) * col("common") / (col("sza") + col("szb") - col("common"))).cast("long"))
       .filter(col("jac_x1000") >= 200)
@@ -74,11 +84,14 @@ object TextOps {
     * document ([[graft.functions.TextHash.shingles]]): tokenize, char-hash
     * each token once, roll 3-gram hashes ([[PH.shingle3]] semantics), dedup
     * locally. No shingle strings are ever materialized, and — unlike the
-    * old explode + global `.distinct()` — NO shuffle: the sketch rides the
-    * ingest scan.
+    * old explode + global `.distinct()` — no shuffle of sketch rows: the
+    * sketch rides the ingest scan. [[Scans.spread]] widens a narrow scan
+    * first (single-row-group test files plan 1 task; the kernel must not
+    * run one-core) — a no-op at production row-group counts.
     */
   private def shingleArr(d: DataFrame): DataFrame =
-    d.select(col("doc_id"),
+    Scans.spread(d.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"),
         graft.functions.TextHashExprs.text_shingles(col("text")).as("sharr"))
       .filter(size(col("sharr")) > 0)
 
@@ -168,21 +181,25 @@ object TextOps {
 
   private def minhashVerifiedPairsFrom(d: DataFrame): DataFrame = {
     val arr = shingleArr(d).cache()
-    val sets = arr.select(col("doc_id"), explode(col("sharr")).as("shh"))
     val cand = minhashCandidates(arr).select(col("doc_a"), col("doc_b"))
-    // set size = array length: a per-row map over the cached arrays, not a
-    // groupBy-count shuffle over exploded shingle rows
-    val sizes = arr.select(col("doc_id"), size(col("sharr")).cast("long").as("sz"))
-    val common = cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("shh")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("shh")), Seq("doc_b", "shh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), Seq("doc_b"))
+    // Exact-Jaccard verify WITHOUT exploding any shingle set: join the
+    // candidate pairs to the per-doc shingle ARRAYS by id (un-exploded
+    // 8-byte keys — "join first on the un-exploded key and explode after",
+    // except no explode is needed at all), then |∩| is one codegen'd
+    // array_intersect per candidate pair and |set| is the array length.
+    // The old plan exploded EVERY doc's shingles twice and shuffled the
+    // (doc_b, shh) rows of the full corpus through a groupBy-count plus two
+    // size joins — 4 exchanges of corpus-shingle volume where this shape
+    // pays 2 id-keyed joins of candidate volume. Arrays are distinct by
+    // construction (text_shingles dedups locally), so intersect size is the
+    // exact common-shingle count; jac arithmetic is unchanged.
+    val ea = arr.select(col("doc_id").as("doc_a"), col("sharr").as("sha"))
+    val eb = arr.select(col("doc_id").as("doc_b"), col("sharr").as("shb"))
+    cand.join(ea, Seq("doc_a")).join(eb, Seq("doc_b"))
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("jac_x1000",
-        round(lit(1000.0) * col("common") / (col("sza") + col("szb") - col("common"))).cast("long"))
+        round(lit(1000.0) * col("common") /
+          (size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("common"))).cast("long"))
       .filter(col("jac_x1000") >= 400)
       .select(col("doc_a"), col("doc_b"), col("jac_x1000"))
   }
@@ -221,17 +238,17 @@ object TextOps {
     * rows probe the stored epoch-1 band table by equi-join — new×old
     * candidates ONLY, never old×old (the existing corpus was already
     * deduped when it landed) and never new×new (intra-batch dedup is q22's
-    * job) — then exact Jaccard verifies just the candidates' shingle sets
-    * (in production those sets are stored beside the signatures; here the
-    * verify side recomputes them behind a candidate semi-join, a map over
-    * the old scan that prunes before any join work). Emits every epoch-2
+    * job) — then exact Jaccard verifies just the candidates' shingle sets,
+    * fetched as whole arrays by an id-equi-join that the candidate set
+    * prunes (in production those sets are stored beside the signatures and
+    * this join is the store lookup; no old-side shingle row is ever
+    * exploded or shuffled). Emits every epoch-2
     * doc with keep/drop, its best surviving match (highest J, ties to the
     * lowest old id) or −1, and the match's J×1000. At 10^10 docs per epoch
     * the cost is sketch(new) + one banded equi-join against a table that
     * only ever APPENDS — no quadratic term and no old-side recompute.
     */
   def q62IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
     // epoch-1 signature table: persisted in production, derived here
     val oldArr = shingleArr(d.filter(col("doc_id") % 2 === 0)).cache()
@@ -241,25 +258,30 @@ object TextOps {
         col("n.band") === col("o.band") && col("n.sig") === col("o.sig"))
       .select(col("n.doc_id").as("doc_new"), col("o.doc_id").as("doc_old"))
       .distinct()
-    val newSets = newArr.select(col("doc_id").as("doc_new"), explode(col("sharr")).as("shh"))
-    val oldSets = oldArr.select(col("doc_id").as("doc_old"), explode(col("sharr")).as("shh"))
-    val sizesNew = newArr.select(col("doc_id").as("doc_new"), size(col("sharr")).cast("long").as("szn"))
-    val sizesOld = oldArr.select(col("doc_id").as("doc_old"), size(col("sharr")).cast("long").as("szo"))
-    val common = cand
-      .join(newSets, Seq("doc_new"))
-      .join(oldSets, Seq("doc_old", "shh"))
-      .groupBy(col("doc_new"), col("doc_old"))
-      .agg(count(lit(1)).as("common"))
-    val verified = common
-      .join(sizesNew, Seq("doc_new")).join(sizesOld, Seq("doc_old"))
+    // Verify on the candidates' stored shingle ARRAYS, fetched by id — the
+    // old-side relation is touched only through (a) the banded signature
+    // probe above and (b) this id-keyed equi-join, which the candidate set
+    // prunes by construction (candidate doc_olds are bounded by banding
+    // collisions). The round-5 plan exploded the FULL epoch-1 corpus into
+    // (doc_old, shh) rows and shuffled every old shingle through the verify
+    // join — the exact full-corpus recompute the operator exists to avoid.
+    // |∩| is one codegen'd array_intersect per candidate pair (arrays are
+    // locally-distinct by construction); set sizes are array lengths.
+    val verified = cand
+      .join(newArr.select(col("doc_id").as("doc_new"), col("sharr").as("shn")), Seq("doc_new"))
+      .join(oldArr.select(col("doc_id").as("doc_old"), col("sharr").as("sho")), Seq("doc_old"))
+      .withColumn("common", size(array_intersect(col("shn"), col("sho"))).cast("long"))
       .withColumn("jac_x1000", round(lit(1000.0) * col("common") /
-        (col("szn") + col("szo") - col("common"))).cast("long"))
+        (size(col("shn")).cast("long") + size(col("sho")).cast("long") - col("common"))).cast("long"))
       .filter(col("jac_x1000") >= 400)
-    val w = Window.partitionBy(col("doc_new"))
-      .orderBy(col("jac_x1000").desc, col("doc_old").asc)
-    val best = verified.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_new").as("doc_id"), col("doc_old"), col("jac_x1000"))
+    // best match per new doc: argmax (jac, then lowest old id) — a map-side
+    // combinable max(struct) aggregate, not a window sort (integer compare,
+    // ties identical to the ROW_NUMBER ordering it replaces)
+    val best = verified
+      .groupBy(col("doc_new").as("doc_id"))
+      .agg(max(struct(col("jac_x1000"), (-col("doc_old")).as("nid"))).as("b"))
+      .select(col("doc_id"), (-col("b.nid")).as("doc_old"),
+        col("b.jac_x1000").as("jac_x1000"))
     d.filter(col("doc_id") % 2 === 1).select(col("doc_id"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -343,7 +365,8 @@ object TextOps {
     // through a 64-aggregate-column groupBy; now the sketch is a pure map
     // and the band join is the only shuffle. Null = token-less doc (those
     // never appeared in the exploded plan either).
-    val sig = docs(s, dir)
+    val sig = Scans.spread(docs(s, dir).select(col("doc_id"), col("text")),
+        col("doc_id"))
       .select(col("doc_id"),
         graft.functions.TextHashExprs.simhash64(col("text")).as("simhash"))
       .filter(col("simhash").isNotNull)
@@ -376,7 +399,10 @@ object TextOps {
   private def q45From(d: DataFrame): DataFrame = {
     val sp = d.sparkSession
     import sp.implicits._
-    d.select(col("doc_id"), col("text")).as[(Long, String)]
+    // per-doc bigram counting is the heavy per-row kernel here — widen a
+    // narrow scan so it parallelizes (no-op on multi-row-group inputs)
+    Scans.spread(d.select(col("doc_id"), col("text")), col("doc_id"))
+      .as[(Long, String)]
       .mapPartitions { rows =>
         rows.map { case (id, text) =>
           val tk = text.split(' ').filter(_.nonEmpty)
@@ -513,7 +539,10 @@ object TextOps {
     // plus the final join spine read it, and without this each re-derived
     // the full corpus from parquet (~7 full scans at 100 TB where one
     // pays). PlanSpec pins the executed plan at ≤2 documents.parquet scans.
-    val d = docs(s, dir).localCheckpoint(true)
+    // Widen a narrow scan BEFORE checkpointing so the materialized base is
+    // already parallel and every kernel subtree's own spread guard no-ops
+    // (one shuffle paid once instead of per stage).
+    val d = Scans.spread(docs(s, dir), col("doc_id")).localCheckpoint(true)
     val dupLosers = q29ClustersFrom(d)
       .filter(col("keep") === 0L).select(col("doc_id"))
     val repBad = q45From(d)
@@ -571,7 +600,9 @@ object TextOps {
       when(col("doc_id") % 5 === 0,
         concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
           lit(".0."), (col("doc_id") % 100).cast("string"))).otherwise(""))
-    docs(s, dir)
+    // six regexp passes per row (3 counts + 3 replaces) — widen a narrow
+    // scan so the regex work parallelizes (no-op on multi-row-group inputs)
+    Scans.spread(docs(s, dir).select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), t.as("t"))
       .select(col("doc_id"),
         regexp_count(col("t"), lit(PiiPatterns(0)._1)).cast("long").as("n_emails"),

@@ -530,12 +530,25 @@ object VectorOps {
     */
   def q59AnnRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val exact = q31AnnTopk(s, dir).select(col("vec_id"))
     def ids(name: String, df: DataFrame): DataFrame =
       df.select(lit(name).as("index_name"), col("vec_id"))
-    val approx = ids("ivf_label", q34IvfSearch(s, dir))
-      .unionByName(ids("ivf_trained", q56IvfTrainedSearch(s, dir)))
-      .unionByName(ids("lsh_multiprobe", q32AnnLsh(s, dir)))
+    // The three index BUILDS are independent, and two of them run eager
+    // driver-coordinated work before their plan exists (q34 collects its
+    // k×d centroid matrix; q56 runs the Lloyd trainer's per-round
+    // collect/checkpoint loop). Submitting them from separate threads lets
+    // those jobs overlap on the (FAIR-scheduled) executors instead of
+    // serializing through the driver — the guide's "overlap independent
+    // jobs" pattern; result assembly below is unchanged and deterministic.
+    val f34 = Future(ids("ivf_label", q34IvfSearch(s, dir)))
+    val f56 = Future(ids("ivf_trained", q56IvfTrainedSearch(s, dir)))
+    val f32 = Future(ids("lsh_multiprobe", q32AnnLsh(s, dir)))
+    val approx = Await.result(f34, Duration.Inf)
+      .unionByName(Await.result(f56, Duration.Inf))
+      .unionByName(Await.result(f32, Duration.Inf))
     val hits = approx.join(broadcast(exact), Seq("vec_id"))
       .groupBy(col("index_name")).agg(count(lit(1)).as("hits"))
     val names = Seq("ivf_label", "ivf_trained", "lsh_multiprobe").toDF("index_name")

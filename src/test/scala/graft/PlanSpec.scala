@@ -225,6 +225,45 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q62 verify touches no exploded shingle rows (candidate-pruned array fetch only)") {
+    // The scale claim of incremental dedup is "no old-side recompute": the
+    // epoch-1 corpus may be touched ONLY through its banded signature table
+    // and an id-keyed fetch of candidate docs' stored shingle arrays. The
+    // round-5 plan exploded the FULL epoch-1 shingle sets into (doc_old,
+    // shh) rows and shuffled them through the verify join — at a 10^10-doc
+    // old epoch that explode dominates the query. The rewritten verify is
+    // array_intersect over id-joined arrays: the ONLY Generate (explode)
+    // nodes allowed are the two banding posexplodes, and no shingle-row
+    // attribute may appear anywhere in the plan.
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    val df = graft.ops.TextOps.q62IncrementalDedup(spark, dir)
+    val plan = df.queryExecution.optimizedPlan
+    val gens = plan.collect { case g: Generate => g }
+    assert(gens.size == 2, s"expected only the 2 banding posexplodes, got ${gens.size}\n$plan")
+    gens.foreach { g =>
+      val outs = g.generatorOutput.map(_.name).mkString(",")
+      assert(outs.contains("band") && outs.contains("sig"),
+        s"non-banding explode in q62: $outs")
+    }
+    assert(!plan.toString.contains("shh"),
+      s"exploded shingle rows back in the q62 verify path:\n${plan.toString.take(1200)}")
+  }
+
+  test("q02/q07/q13 are windowless map-side-combinable aggregates") {
+    // top-1-per-key and group-total queries must not pay a full shuffle +
+    // sort of every row: the argmax/sum folds partially before the
+    // exchange. Pin: no Window operator, and two HashAggregate levels
+    // (partial below the exchange, final above).
+    for (df <- Seq(RelationalQueries.q02PriorityTopk(spark, dir),
+                   RelationalQueries.q07UpsertMerge(spark, dir),
+                   RelationalQueries.q13RunningTotal(spark, dir))) {
+      val p = planOf(df)
+      assert(!p.contains("Window"), s"window back in a top-1/total query\n${p.take(1200)}")
+      assert("HashAggregate".r.findAllIn(p).size >= 2 ||
+        "SortAggregate".r.findAllIn(p).size >= 2, p.take(1200))
+    }
+  }
+
   test("q47 quantization is a shuffle-free codegen'd map (native kernel, one sort exchange only)") {
     // the per-vector summary must ride the scan: no aggregation shuffle, no
     // CodegenFallback higher-order lambdas — the only Exchange allowed is
