@@ -35,8 +35,11 @@ object MultimodalOps {
     */
   def q40DecodeStub(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Scans.spread(s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text")), col("doc_id"))
+    // no scan-width guard here: the stub "decode" is integer arithmetic on
+    // the byte length — cheaper than the exchange a widen would add
+    // (measured +0.15 s at sf0.1); the real-codec paths q41/q42 widen
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         // batch loop mirrors an Arrow-batch UDF: decode in groups of 64
@@ -217,10 +220,12 @@ object MultimodalOps {
   def q44AudioFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.corpus.Audio
-    // WAV encode + RIFF walk per row — widen a narrow scan (no-op at
-    // production row-group counts)
-    Scans.spread(s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("n_chars")), col("doc_id"))
+    // no scan-width guard: a few hundred PCM samples per row synthesize in
+    // microseconds — the widen exchange cost more than it bought
+    // (measured +0.36 s at sf0.1); q41/q42's image codecs are where the
+    // guard pays
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
       .mapPartitions { rows =>
         rows.map { case (id, nChars) =>
