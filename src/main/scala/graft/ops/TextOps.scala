@@ -85,15 +85,21 @@ object TextOps {
     * each token once, roll 3-gram hashes ([[PH.shingle3]] semantics), dedup
     * locally. No shingle strings are ever materialized, and — unlike the
     * old explode + global `.distinct()` — no shuffle of sketch rows: the
-    * sketch rides the ingest scan. [[Scans.spread]] widens a narrow scan
-    * first (single-row-group test files plan 1 task; the kernel must not
-    * run one-core) — a no-op at production row-group counts.
+    * sketch rides the ingest scan. `wide = true` widens a narrow scan
+    * first ([[Scans.spread]]; single-row-group test files plan 1 task) —
+    * set it where the downstream sketch is the 128-permutation MinHash
+    * kernel, whose per-row cost justifies the exchange (A/B-measured:
+    * q22 0.86 vs 1.09 s warm); the plain shingle pass is cheaper than the
+    * exchange, so array-only consumers (q27/q37/q55) stay narrow. At
+    * production row-group counts the guard no-ops either way.
     */
-  private def shingleArr(d: DataFrame): DataFrame =
-    Scans.spread(d.select(col("doc_id"), col("text")), col("doc_id"))
+  private def shingleArr(d: DataFrame, wide: Boolean = false): DataFrame = {
+    val in = d.select(col("doc_id"), col("text"))
+    (if (wide) Scans.spread(in, col("doc_id")) else in)
       .select(col("doc_id"),
         graft.functions.TextHashExprs.text_shingles(col("text")).as("sharr"))
       .filter(size(col("sharr")) > 0)
+  }
 
   /** Distinct 31-bit shingle hashes per doc as (doc_id, shh) rows — the
     * exploded view of [[shingleArr]] for the set-intersection joins.
@@ -126,7 +132,7 @@ object TextOps {
     * count. Fully DuckDB-oracled (round 1 was rows-only via xxhash64).
     */
   def q22MinhashLsh(s: SparkSession, dir: String): DataFrame =
-    minhashCandidates(shingleArr(docs(s, dir)))
+    minhashCandidates(shingleArr(docs(s, dir), wide = true))
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** LSH candidate pairs (≥1 colliding band) over a (doc_id, sharr) frame.
@@ -180,7 +186,7 @@ object TextOps {
     minhashVerifiedPairsFrom(docs(s, dir))
 
   private def minhashVerifiedPairsFrom(d: DataFrame): DataFrame = {
-    val arr = shingleArr(d).cache()
+    val arr = shingleArr(d, wide = true).cache()
     val cand = minhashCandidates(arr).select(col("doc_a"), col("doc_b"))
     // Exact-Jaccard verify WITHOUT exploding any shingle set: join the
     // candidate pairs to the per-doc shingle ARRAYS by id (un-exploded
@@ -251,8 +257,8 @@ object TextOps {
   def q62IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     // epoch-1 signature table: persisted in production, derived here
-    val oldArr = shingleArr(d.filter(col("doc_id") % 2 === 0)).cache()
-    val newArr = shingleArr(d.filter(col("doc_id") % 2 === 1)).cache()
+    val oldArr = shingleArr(d.filter(col("doc_id") % 2 === 0), wide = true).cache()
+    val newArr = shingleArr(d.filter(col("doc_id") % 2 === 1), wide = true).cache()
     val cand = minhashBands(newArr).as("n")
       .join(minhashBands(oldArr).as("o"),
         col("n.band") === col("o.band") && col("n.sig") === col("o.sig"))
